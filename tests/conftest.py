@@ -1,0 +1,29 @@
+"""Test configuration: force an 8-device virtual CPU backend.
+
+Multi-chip sharding logic (pointcloudregistration_tpu/parallel/*) is tested on
+a single host using XLA's virtual-device trick — the standard JAX technique
+for exercising pjit/shard_map collectives without a pod (SURVEY.md §4e).
+
+Note: this environment presets JAX_PLATFORMS=axon (TPU tunnel) via
+sitecustomize, so the env var alone is not enough — we must also override the
+config after importing jax, before any backend is initialized.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
