@@ -26,7 +26,10 @@ def square_dists(a: jax.Array, b: jax.Array) -> jax.Array:
     """
     a2 = jnp.sum(a * a, -1, keepdims=True)          # (..., N, 1)
     b2 = jnp.sum(b * b, -1, keepdims=True)          # (..., M, 1)
-    cross = jnp.einsum("...nc,...mc->...nm", a, b)
+    # fp32 cross terms: a single bf16 MXU pass injects ~1e-2 absolute error
+    # on unit clouds, large enough to flip nearest-neighbor decisions
+    cross = jnp.einsum("...nc,...mc->...nm", a, b,
+                       precision=jax.lax.Precision.HIGHEST)
     d = a2 - 2.0 * cross + jnp.swapaxes(b2, -1, -2)
     return jnp.maximum(d, 0.0)
 
