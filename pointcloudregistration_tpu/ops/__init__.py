@@ -4,6 +4,11 @@ from pointcloudregistration_tpu.ops import (
     ball_query,
     subsample,
     nnd_pallas,
+    icp,
+    ransac,
+    fpfh,
+    cpd,
 )
 
-__all__ = ["knn", "fps", "ball_query", "subsample", "nnd_pallas"]
+__all__ = ["knn", "fps", "ball_query", "subsample", "nnd_pallas",
+           "icp", "ransac", "fpfh", "cpd"]

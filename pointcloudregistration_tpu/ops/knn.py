@@ -29,8 +29,8 @@ def _blocked_min(query: jax.Array, ref: jax.Array, ref_mask, block: int):
     nblocks = max(1, -(-M // block))
     pad = nblocks * block - M
     refp = jnp.concatenate(
-        [ref, jnp.full(ref.shape[:-2] + (pad, 3), 1e6, ref.dtype)], -2) \
-        if pad else ref
+        [ref, jnp.full(ref.shape[:-2] + (pad, ref.shape[-1]), 1e6,
+                       ref.dtype)], -2) if pad else ref
     maskp = None
     if ref_mask is not None:
         maskp = jnp.concatenate(
@@ -145,8 +145,8 @@ def knn(query: jax.Array, ref: jax.Array, k: int,
     nblocks = -(-M // block)
     pad = nblocks * block - M
     refp = jnp.concatenate(
-        [ref, jnp.full(ref.shape[:-2] + (pad, 3), 1e6, ref.dtype)], -2) \
-        if pad else ref
+        [ref, jnp.full(ref.shape[:-2] + (pad, ref.shape[-1]), 1e6,
+                       ref.dtype)], -2) if pad else ref
     maskp = ref_mask
     if pad and ref_mask is not None:
         maskp = jnp.concatenate(
