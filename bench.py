@@ -1,0 +1,78 @@
+"""Benchmark: end-to-end registration throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Headline metric: TOF-PC registration pairs/sec/chip through the full
+C2P-style pipeline (FPFH + vectorized RANSAC + ICP + NDP non-rigid refine)
+at the reference's working size (3000 points/cloud,
+c2p-net/ngenet/data/MRI.py:21).
+
+Baseline: the reference's pipeline is CPU Open3D RANSAC (100k iterations,
+~seconds/pair) + ~360 eager CUDA rounds of NDP (SURVEY.md §3.5); measured
+wall-times for that flow are ~10 s/pair on a single GPU workstation class
+machine. We use a conservative 0.2 pairs/sec as the reference point
+(vs_baseline = ours / reference).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from pointcloudregistration_tpu.data import synthetic
+from pointcloudregistration_tpu.pipelines import c2p
+
+REFERENCE_PAIRS_PER_SEC = 0.2  # conservative single-GPU reference estimate
+
+
+def main():
+    n_points = 3000
+    batch = 8
+    cfg = c2p.C2PConfig()
+
+    key = jax.random.PRNGKey(0)
+    data = synthetic.make_batch(key, batch, n_points=n_points,
+                                max_angle_deg=45.0, max_trans=0.5,
+                                deform_amp=0.05)
+
+    step = jax.jit(lambda k, s, t, sm, tm: c2p.register_batch(
+        k, s, t, sm, tm, cfg))
+    args = (data["source"], data["target"], data["source_mask"],
+            data["target_mask"])
+
+    def sync(o):
+        # IMPORTANT: on the axon TPU tunnel, block_until_ready returns
+        # before remote execution finishes; only a host readback of a
+        # data-dependent value truly synchronizes. Never time without one.
+        return float(jnp.sum(o["chamfer_nonrigid"])
+                     + jnp.sum(o["R"]) + jnp.sum(o["warped"][..., 0, 0]))
+
+    out = step(jax.random.PRNGKey(1), *args)      # compile
+    sync(out)
+
+    n_rep = 3
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        out = step(jax.random.PRNGKey(2 + i), *args)
+        sync(out)
+    dt = (time.perf_counter() - t0) / n_rep
+
+    pairs_per_sec = batch / dt
+    cd = float(jnp.mean(out["chamfer_nonrigid"]))
+    print(json.dumps({
+        "metric": "c2p_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 2),
+        "detail": {
+            "n_points": n_points,
+            "batch": batch,
+            "ms_per_pair": round(dt / batch * 1e3, 2),
+            "mean_chamfer_nonrigid": round(cd, 6),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

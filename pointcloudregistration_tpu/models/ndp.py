@@ -1,0 +1,165 @@
+"""Neural Deformation Pyramid (NDP) — non-rigid registration by coarse-to-fine
+per-level MLP warps, optimized per pair.
+
+Capability parity with the reference's NDP
+(c2p-net/deformationpyramid/model/nets.py:10-177 Deformation_Pyramid /
+NDPLayer, registration.py:149-289 optimize_deformation_pyramid): m pyramid
+levels; level i sees a sinusoidal positional encoding at frequency
+2^(k0+i+1); each level is a small MLP emitting a per-point rigid motion
+(axis-angle + translation) plus, for levels > 0, a sigmoid nonrigidity gate
+blending the motion with identity. Levels are optimized sequentially with
+Adam against a truncated-Chamfer data term on an inlier subset and a BCE
+penalty pushing gates toward rigidity; each level's output is detached and
+fed to the next.
+
+TPU-first re-design (SURVEY.md §7.3):
+  * the reference runs ~9 levels x <=40 eager iterations of
+    kNN + MLP + backprop per pair (≈360 CUDA launch rounds,
+    testScript.py:191-192); here ONE `lax.scan` over levels with an inner
+    `lax.scan` over Adam steps compiles to a single program,
+  * the Chamfer data term uses the blocked NN ops (no (N,M) HBM matrix),
+  * everything vmaps over a batch of pairs — the pair axis is the
+    embarrassingly-parallel throughput axis the reference never exploits.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pointcloudregistration_tpu.core import se3
+from pointcloudregistration_tpu.ops import knn as _knn
+
+
+class NDPConfig(NamedTuple):
+    """Defaults mirror c2p-net/config/NDP.yaml:8-24."""
+    m: int = 9                # pyramid levels
+    k0: int = -8              # base log2 frequency
+    depth: int = 3            # MLP hidden layers
+    width: int = 128
+    iters: int = 40           # Adam steps per level
+    lr: float = 0.01
+    # nonrigidity BCE weight. The reference uses 0.05 (NDP.yaml:24) on
+    # raw-unit clouds; on unit-cube-normalized data the Chamfer term is
+    # ~1e-3, so the weight must shrink proportionally or the gates collapse
+    # to 0 and no level ever deforms.
+    w_reg: float = 0.005
+    # truncated-Chamfer threshold (squared). The reference optimizer runs
+    # effectively untruncated (trunc=1e+9, registration.py:236).
+    trunc: float = 1e9
+    mlp_scale: float = 1e-3   # near-identity init of the motion head
+
+
+def _level_freq(cfg: NDPConfig, level: jax.Array) -> jax.Array:
+    return 2.0 ** (cfg.k0 + level + 1.0)
+
+
+def init_level_params(key: jax.Array, cfg: NDPConfig):
+    """One level's MLP: in 9 (xyz + sin/cos posenc) -> width^depth -> 7."""
+    dims = [9] + [cfg.width] * cfg.depth
+    keys = jax.random.split(key, cfg.depth + 1)
+    layers = []
+    for i in range(cfg.depth):
+        w = jax.random.normal(keys[i], (dims[i], dims[i + 1])) \
+            * jnp.sqrt(2.0 / dims[i])
+        layers.append({"w": w, "b": jnp.zeros(dims[i + 1])})
+    w_out = jax.random.normal(keys[-1], (cfg.width, 7)) * cfg.mlp_scale
+    layers.append({"w": w_out, "b": jnp.zeros(7)})
+    return layers
+
+
+def init_pyramid(key: jax.Array, cfg: NDPConfig):
+    """Stacked params for all m levels: pytree with leading (m,) axis."""
+    keys = jax.random.split(key, cfg.m)
+    return jax.vmap(lambda k: init_level_params(k, cfg))(keys)
+
+
+def warp_level(params, x: jax.Array, freq: jax.Array,
+               use_gate: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Apply one level's warp. x (..., N, 3) -> (warped, gate)."""
+    h = jnp.concatenate(
+        [x, jnp.sin(freq * jnp.pi * x), jnp.cos(freq * jnp.pi * x)], -1)
+    for layer in params[:-1]:
+        h = jax.nn.relu(h @ layer["w"] + layer["b"])
+    out = h @ params[-1]["w"] + params[-1]["b"]        # (..., N, 7)
+    w_rot, v, gate_logit = out[..., :3], out[..., 3:6], out[..., 6]
+    R = se3.exp_so3(w_rot)                             # (..., N, 3, 3)
+    moved = jnp.einsum("...nij,...nj->...ni", R, x,
+                       precision=jax.lax.Precision.HIGHEST) + v
+    gate = jax.nn.sigmoid(gate_logit)                  # (..., N)
+    # level 0 is ungated full motion (reference nets.py:132-137)
+    g = jnp.where(use_gate, gate, 1.0)
+    warped = g[..., None] * moved + (1.0 - g[..., None]) * x
+    return warped, gate
+
+
+def _level_loss(params, x, tgt, freq, use_gate, data_mask, tgt_mask, cfg):
+    warped, gate = warp_level(params, x, freq, use_gate)
+    data = _knn.truncated_chamfer(warped, tgt, cfg.trunc,
+                                  x_mask=data_mask, y_mask=tgt_mask)
+    # BCE(gate -> 0): prefer rigidity (registration.py:240-244)
+    reg = -jnp.mean(jnp.log1p(-jnp.clip(gate, 0.0, 1.0 - 1e-6)), -1)
+    return jnp.mean(data) + cfg.w_reg * jnp.mean(jnp.where(use_gate, reg, 0.0))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def fit(key: jax.Array, src: jax.Array, tgt: jax.Array,
+        cfg: NDPConfig = NDPConfig(),
+        data_mask: jax.Array | None = None,
+        tgt_mask: jax.Array | None = None):
+    """Optimize the pyramid for one pair (or a batch via vmap).
+
+    src (N, 3) rigidly-prealigned source, tgt (M, 3). data_mask selects the
+    subset driving the data term (the reference feeds RANSAC inliers,
+    registration.py:236); the FINAL warp is applied to all src points
+    (registration.py:279-287).
+
+    Returns (warped_src, aux) with aux = dict(losses (m, iters), gates mean).
+    """
+    if data_mask is None:
+        data_mask = jnp.ones(src.shape[:-1], bool)
+    params0 = init_pyramid(key, cfg)
+    opt = optax.adam(cfg.lr)
+
+    def run_level(x, inputs):
+        params, level = inputs
+        freq = _level_freq(cfg, level)
+        use_gate = level > 0
+        opt_state = opt.init(params)
+
+        def adam_step(carry, _):
+            p, s = carry
+            loss, g = jax.value_and_grad(_level_loss)(
+                p, x, tgt, freq, use_gate, data_mask, tgt_mask, cfg)
+            updates, s = opt.update(g, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), loss
+
+        (params_f, _), losses = jax.lax.scan(
+            adam_step, (params, opt_state), None, length=cfg.iters)
+        warped, gate = warp_level(params_f, x, freq, use_gate)
+        # detach: next level treats this level's output as data
+        return jax.lax.stop_gradient(warped), (losses, jnp.mean(gate))
+
+    levels = jnp.arange(cfg.m, dtype=jnp.float32)
+    warped, (losses, gates) = jax.lax.scan(run_level, src, (params0, levels))
+    return warped, {"losses": losses, "gate_means": gates}
+
+
+def fit_batch(key: jax.Array, src: jax.Array, tgt: jax.Array,
+              cfg: NDPConfig = NDPConfig(),
+              data_mask: jax.Array | None = None,
+              tgt_mask: jax.Array | None = None):
+    """Batched NDP: src (B, N, 3), tgt (B, M, 3) optimized in parallel."""
+    B = src.shape[0]
+    keys = jax.random.split(key, B)
+    if data_mask is None:
+        data_mask = jnp.ones(src.shape[:-1], bool)
+    if tgt_mask is None:
+        tgt_mask = jnp.ones(tgt.shape[:-1], bool)
+    return jax.vmap(lambda k, s, t, dm, tm: fit(k, s, t, cfg, dm, tm))(
+        keys, src, tgt, data_mask, tgt_mask)

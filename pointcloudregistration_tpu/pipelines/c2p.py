@@ -1,0 +1,119 @@
+"""C2P-style two-stage registration pipeline: coarse rigid + non-rigid refine.
+
+Mirrors the reference's inference harness (c2p-net/testScript.py:126-206):
+  1. features on both clouds (NgeNet multi-scale features in the reference;
+     FPFH here until the learned NgeNet lands — same RANSAC contract),
+  2. RANSAC on feature matches -> rigid (R, t) + inlier set,
+  3. ICP polish (the reference relies on RANSAC alone; ICP is strictly
+     better and nearly free on TPU),
+  4. NDP non-rigid refinement of the rigidly-aligned source, data term
+     driven by the RANSAC inliers (testScript.py:183-192).
+
+The whole pipeline is one jitted program per pair batch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pointcloudregistration_tpu.core import se3
+from pointcloudregistration_tpu.core.geometry import estimate_normals
+from pointcloudregistration_tpu.models import ndp as ndp_mod
+from pointcloudregistration_tpu.ops import fpfh as fpfh_mod
+from pointcloudregistration_tpu.ops import icp as icp_mod
+from pointcloudregistration_tpu.ops import knn as knn_ops
+from pointcloudregistration_tpu.ops import ransac as ransac_mod
+
+
+class C2PConfig(NamedTuple):
+    fpfh_radius: float = 0.4
+    fpfh_k: int = 32
+    normal_k: int = 16
+    ransac_thresh: float = 0.05      # ~ first_subsampling_dl mapping,
+                                     # testScript.py:112-119
+    ransac_hypotheses: int = 8192
+    icp_dist: float = 0.1
+    icp_dist_final: float = 0.02
+    icp_iters: int = 25
+    mutual: bool = True
+    run_ndp: bool = True
+    ndp: ndp_mod.NDPConfig = ndp_mod.NDPConfig(
+        m=7, k0=-4, depth=3, width=64, iters=30, lr=0.01,
+        w_reg=0.005, trunc=0.1)
+
+
+def _features(points, mask, cfg: C2PConfig):
+    _, nidx = knn_ops.knn(points, points, cfg.normal_k, mask, mask)
+    normals = estimate_normals(points, nidx)
+    return fpfh_mod.fpfh(points, normals, cfg.fpfh_radius, cfg.fpfh_k, mask)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def register_pair(key: jax.Array, source: jax.Array, target: jax.Array,
+                  source_mask: jax.Array | None = None,
+                  target_mask: jax.Array | None = None,
+                  cfg: C2PConfig = C2PConfig()):
+    """Full rigid+non-rigid registration of one pair.
+
+    Returns dict(R, t, warped, rigid_aligned, inliers, fitness, chamfer_*).
+    """
+    if source_mask is None:
+        source_mask = jnp.ones(source.shape[:-1], bool)
+    if target_mask is None:
+        target_mask = jnp.ones(target.shape[:-1], bool)
+    k_ransac, k_ndp = jax.random.split(key)
+
+    f_src = _features(source, source_mask, cfg)
+    f_tgt = _features(target, target_mask, cfg)
+    R0, t0, rinfo = ransac_mod.ransac_feature_matching(
+        k_ransac, source, target, f_src, f_tgt,
+        threshold=cfg.ransac_thresh,
+        num_hypotheses=cfg.ransac_hypotheses,
+        mutual=cfg.mutual, src_mask=source_mask, tgt_mask=target_mask)
+    R, t, iinfo = icp_mod.icp(source, target, cfg.icp_dist,
+                              iters=cfg.icp_iters, R0=R0, t0=t0,
+                              src_mask=source_mask, tgt_mask=target_mask,
+                              max_dist_final=cfg.icp_dist_final)
+    aligned = se3.transform(source, R, t)
+    cd_rigid = knn_ops.chamfer(aligned, target, source_mask, target_mask,
+                               sqrt=True)
+    out = {
+        "R": R, "t": t,
+        "rigid_aligned": aligned,
+        "inliers": rinfo["inliers"],
+        "ransac_fitness": rinfo["fitness"],
+        "icp_fitness": iinfo["fitness"],
+        "chamfer_rigid": cd_rigid,
+    }
+    if cfg.run_ndp:
+        # data term on RANSAC inliers, final warp on the whole cloud
+        # (reference: registration.py:236 + 279-287)
+        data_mask = rinfo["inliers"] & source_mask
+        enough = jnp.sum(data_mask) > 32
+        data_mask = jnp.where(enough, data_mask, source_mask)
+        warped, aux = ndp_mod.fit(k_ndp, aligned, target, cfg.ndp,
+                                  data_mask=data_mask, tgt_mask=target_mask)
+        out["warped"] = warped
+        out["chamfer_nonrigid"] = knn_ops.chamfer(
+            warped, target, source_mask, target_mask, sqrt=True)
+        out["ndp_losses"] = aux["losses"]
+    return out
+
+
+def register_batch(key: jax.Array, source: jax.Array, target: jax.Array,
+                   source_mask=None, target_mask=None,
+                   cfg: C2PConfig = C2PConfig()):
+    """vmapped batch registration: (B, N, 3) x (B, M, 3)."""
+    B = source.shape[0]
+    keys = jax.random.split(key, B)
+    if source_mask is None:
+        source_mask = jnp.ones(source.shape[:-1], bool)
+    if target_mask is None:
+        target_mask = jnp.ones(target.shape[:-1], bool)
+    return jax.vmap(
+        lambda k, s, t, sm, tm: register_pair(k, s, t, sm, tm, cfg))(
+        keys, source, target, source_mask, target_mask)
