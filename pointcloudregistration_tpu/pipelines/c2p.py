@@ -104,6 +104,41 @@ def register_pair(key: jax.Array, source: jax.Array, target: jax.Array,
     return out
 
 
+def register_pair_learned(ngenet_state, key: jax.Array,
+                          source: jax.Array, target: jax.Array,
+                          source_mask=None, target_mask=None,
+                          ngenet_cfg=None,
+                          ndp_cfg: ndp_mod.NDPConfig | None = None):
+    """Learned C2P: NgeNet features -> vote -> RANSAC -> ICP -> NDP.
+
+    The faithful testScript.py:126-206 flow with the trained NgeNet standing
+    where FPFH stands in the classical `register_pair`. The NDP data term is
+    driven by the RANSAC inlier subset exactly as the reference does
+    (testScript.py:183-192).
+    """
+    from pointcloudregistration_tpu.pipelines import ngenet as ngenet_pipe
+    if ngenet_cfg is None:
+        ngenet_cfg = ngenet_pipe.NgeNetTrainConfig()
+    if ndp_cfg is None:
+        ndp_cfg = C2PConfig().ndp
+    k_rigid, k_ndp = jax.random.split(key)
+    rigid = ngenet_pipe.register(ngenet_state, k_rigid, source, target,
+                                 source_mask, target_mask, ngenet_cfg)
+    R, t = rigid["R"], rigid["t"]
+    aligned = se3.transform(rigid["sub_source"], R, t)
+    data_mask = rigid["inliers"] & rigid["sub_source_mask"]
+    enough = jnp.sum(data_mask) > 32
+    data_mask = jnp.where(enough, data_mask, rigid["sub_source_mask"])
+    warped, aux = ndp_mod.fit(k_ndp, aligned, rigid["sub_target"], ndp_cfg,
+                              data_mask=data_mask,
+                              tgt_mask=rigid["sub_target_mask"])
+    cd = knn_ops.chamfer(warped, rigid["sub_target"],
+                         rigid["sub_source_mask"],
+                         rigid["sub_target_mask"], sqrt=True)
+    return {"R": R, "t": t, "warped": warped, "chamfer_nonrigid": cd,
+            "rigid": rigid, "ndp_losses": aux["losses"]}
+
+
 def register_batch(key: jax.Array, source: jax.Array, target: jax.Array,
                    source_mask=None, target_mask=None,
                    cfg: C2PConfig = C2PConfig()):

@@ -1,0 +1,160 @@
+"""NgeNet training + inference pipeline (the C2P rigid stage).
+
+Parity targets: c2p-net/trainNgeNet.py:25-226 (SGD momentum 0.98 + ExpLR,
+saliency-weight schedule gated on recall > 0.3) and testScript.py:126-206
+(features -> vote -> RANSAC on learned features). Data and pyramids come
+from the on-device synthetic factory + ops/pyramid.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from pointcloudregistration_tpu.core import se3
+from pointcloudregistration_tpu.core.geometry import estimate_normals
+from pointcloudregistration_tpu.data import synthetic
+from pointcloudregistration_tpu.losses.ngenet import (NgeNetLossConfig,
+                                                      ngenet_loss)
+from pointcloudregistration_tpu.models.ngenet import (NgeNet, NgeNetConfig,
+                                                      vote)
+from pointcloudregistration_tpu.ops import icp as icp_mod
+from pointcloudregistration_tpu.ops import knn as knn_ops
+from pointcloudregistration_tpu.ops import ransac as ransac_mod
+from pointcloudregistration_tpu.ops.pyramid import PyramidConfig, build_pyramid
+
+
+class NgeNetTrainConfig(NamedTuple):
+    model: NgeNetConfig = NgeNetConfig()
+    pyramid: PyramidConfig = PyramidConfig()
+    loss: NgeNetLossConfig = NgeNetLossConfig()
+    n_points: int = 2048
+    lr: float = 0.005
+    momentum: float = 0.98
+    weight_decay: float = 1e-6
+    lr_gamma: float = 0.95          # ExpLR per epoch (trainNgeNet.py)
+    max_angle_deg: float = 45.0
+    max_trans: float = 0.5
+    saliency_recall_gate: float = 0.3
+
+
+class NgeNetTrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def _pyramid_with_normals(points, mask, pyr_cfg):
+    pyr = build_pyramid(points, mask, pyr_cfg)
+    p3, m3 = pyr["points"][3], pyr["masks"][3]
+    _, nidx = knn_ops.knn(p3, p3, 10, m3, m3)
+    normals3 = estimate_normals(p3, nidx)
+    return pyr, normals3
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def make_sample(key: jax.Array, cfg: NgeNetTrainConfig):
+    """One training pair: disoriented source + target, pyramids, GT."""
+    pair = synthetic.make_pair(key, n_points=cfg.n_points,
+                               max_angle_deg=cfg.max_angle_deg,
+                               max_trans=cfg.max_trans)
+    pyr_s, n_s = _pyramid_with_normals(pair["source"], pair["source_mask"],
+                                       cfg.pyramid)
+    pyr_t, n_t = _pyramid_with_normals(pair["target"], pair["target_mask"],
+                                       cfg.pyramid)
+    return {"pyr_src": pyr_s, "pyr_tgt": pyr_t,
+            "normals_src": n_s, "normals_tgt": n_t,
+            "R_gt": pair["R_gt"], "t_gt": pair["t_gt"]}
+
+
+def create_train_state(key: jax.Array, cfg: NgeNetTrainConfig,
+                       sample=None) -> NgeNetTrainState:
+    model = NgeNet(cfg.model)
+    if sample is None:
+        sample = make_sample(jax.random.PRNGKey(0), cfg)
+    variables = model.init(key, sample["pyr_src"], sample["pyr_tgt"],
+                           sample["normals_src"], sample["normals_tgt"],
+                           train=False)
+    sched = optax.exponential_decay(cfg.lr, transition_steps=100,
+                                    decay_rate=cfg.lr_gamma)
+    tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay),
+                     optax.sgd(sched, momentum=cfg.momentum))
+    return NgeNetTrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx,
+        batch_stats=variables.get("batch_stats"))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def train_step(state: NgeNetTrainState, key: jax.Array, sample,
+               w_saliency: jax.Array, cfg: NgeNetTrainConfig):
+    def loss_fn(params):
+        (out_s, out_t), updates = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            sample["pyr_src"], sample["pyr_tgt"],
+            sample["normals_src"], sample["normals_tgt"], train=True,
+            mutable=["batch_stats"])
+        total, parts = ngenet_loss(
+            key,
+            sample["pyr_src"]["points"][0], sample["pyr_tgt"]["points"][0],
+            out_s, out_t, sample["R_gt"], sample["t_gt"],
+            sample["pyr_src"]["masks"][0], sample["pyr_tgt"]["masks"][0],
+            w_saliency=w_saliency, cfg=cfg.loss)
+        return total, (updates["batch_stats"], parts)
+
+    (loss, (bs, parts)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    state = state.apply_gradients(grads=grads).replace(batch_stats=bs)
+    return state, {"loss": loss, **parts}
+
+
+def train(key: jax.Array, cfg: NgeNetTrainConfig = NgeNetTrainConfig(),
+          steps: int = 100, log_every: int = 10):
+    """Driver with the reference's saliency schedule: w_saliency flips to 1
+    once recall passes the gate (trainNgeNet.py:217-219)."""
+    state = create_train_state(jax.random.fold_in(key, 0), cfg,
+                               make_sample(jax.random.fold_in(key, 1), cfg))
+    w_sal, hist = 0.0, []
+    for step in range(steps):
+        kd, kl = jax.random.split(jax.random.fold_in(key, step + 2))
+        sample = make_sample(kd, cfg)
+        state, m = train_step(state, kl, sample, jnp.asarray(w_sal), cfg)
+        if float(m["recall"]) > cfg.saliency_recall_gate:
+            w_sal = 1.0
+        if step % log_every == 0:
+            hist.append({k: float(v) for k, v in m.items()})
+    return state, hist
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_hypotheses"))
+def register(state: NgeNetTrainState, key: jax.Array,
+             source, target, source_mask=None, target_mask=None,
+             cfg: NgeNetTrainConfig = NgeNetTrainConfig(),
+             num_hypotheses: int = 8192):
+    """Inference: NgeNet feats -> vote -> RANSAC -> ICP polish.
+
+    (testScript.py:126-206; RANSAC distance threshold mapped from the
+    first_subsampling_dl as in testScript.py:112-119.)
+    """
+    pyr_s, n_s = _pyramid_with_normals(source, source_mask, cfg.pyramid)
+    pyr_t, n_t = _pyramid_with_normals(target, target_mask, cfg.pyramid)
+    out_s, out_t = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        pyr_s, pyr_t, n_s, n_t, train=False)
+    p0_s, m0_s = pyr_s["points"][0], pyr_s["masks"][0]
+    p0_t, m0_t = pyr_t["points"][0], pyr_t["masks"][0]
+    sel, corr_idx, feats_h = vote(p0_s, p0_t, out_s, out_t,
+                                  cfg.pyramid.first_voxel, m0_s, m0_t)
+    thresh = cfg.pyramid.first_voxel * 2.0
+    R0, t0, info = ransac_mod.ransac_correspondences(
+        key, p0_s, p0_t[corr_idx], threshold=thresh,
+        num_hypotheses=num_hypotheses, corr_mask=sel)
+    R, t, iinfo = icp_mod.icp(p0_s, p0_t, thresh, iters=20, R0=R0, t0=t0,
+                              src_mask=m0_s, tgt_mask=m0_t,
+                              max_dist_final=cfg.pyramid.first_voxel)
+    return {"R": R, "t": t, "ransac": info, "icp": iinfo,
+            "inliers": info["inliers"], "sub_source": p0_s,
+            "sub_target": p0_t, "sub_source_mask": m0_s,
+            "sub_target_mask": m0_t}
