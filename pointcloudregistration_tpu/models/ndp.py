@@ -97,20 +97,31 @@ def warp_level(params, x: jax.Array, freq: jax.Array,
     return warped, gate
 
 
-def _level_loss(params, x, tgt, freq, use_gate, data_mask, tgt_mask, cfg):
+def _level_loss(params, x, tgt, freq, use_gate, data_mask, tgt_mask, cfg,
+                ldmk_idx=None, ldmk_tgt=None, w_ldmk=0.0):
     warped, gate = warp_level(params, x, freq, use_gate)
     data = _knn.truncated_chamfer(warped, tgt, cfg.trunc,
                                   x_mask=data_mask, y_mask=tgt_mask)
+    loss = jnp.mean(data)
+    if ldmk_idx is not None:
+        # landmark-guided variant (LNDP): squared error on matched pairs
+        # (registration.py:223-227 when use_ldmk)
+        w_l = jnp.sum((jnp.take_along_axis(
+            warped, ldmk_idx[..., None], axis=-2) - ldmk_tgt) ** 2, -1)
+        loss = loss + w_ldmk * jnp.mean(w_l)
     # BCE(gate -> 0): prefer rigidity (registration.py:240-244)
     reg = -jnp.mean(jnp.log1p(-jnp.clip(gate, 0.0, 1.0 - 1e-6)), -1)
-    return jnp.mean(data) + cfg.w_reg * jnp.mean(jnp.where(use_gate, reg, 0.0))
+    return loss + cfg.w_reg * jnp.mean(jnp.where(use_gate, reg, 0.0))
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "w_ldmk"))
 def fit(key: jax.Array, src: jax.Array, tgt: jax.Array,
         cfg: NDPConfig = NDPConfig(),
         data_mask: jax.Array | None = None,
-        tgt_mask: jax.Array | None = None):
+        tgt_mask: jax.Array | None = None,
+        ldmk_idx: jax.Array | None = None,
+        ldmk_tgt: jax.Array | None = None,
+        w_ldmk: float = 1.0):
     """Optimize the pyramid for one pair (or a batch via vmap).
 
     src (N, 3) rigidly-prealigned source, tgt (M, 3). data_mask selects the
@@ -134,7 +145,8 @@ def fit(key: jax.Array, src: jax.Array, tgt: jax.Array,
         def adam_step(carry, _):
             p, s = carry
             loss, g = jax.value_and_grad(_level_loss)(
-                p, x, tgt, freq, use_gate, data_mask, tgt_mask, cfg)
+                p, x, tgt, freq, use_gate, data_mask, tgt_mask, cfg,
+                ldmk_idx, ldmk_tgt, w_ldmk)
             updates, s = opt.update(g, s, p)
             p = optax.apply_updates(p, updates)
             return (p, s), loss
