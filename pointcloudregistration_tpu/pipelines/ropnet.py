@@ -112,6 +112,47 @@ def eval_step(state: TrainState, batch, cfg: ROPNetTrainConfig):
     }
 
 
+def evaluate(state: TrainState, key: jax.Array,
+             cfg: ROPNetTrainConfig = ROPNetTrainConfig(),
+             n_batches: int = 8, dump_path: str | None = None):
+    """Eval harness with overlap precision/recall — parity with
+    ROPNet/src/eval.py:23-133 (registration errors + OP/ROP overlap P/R of
+    the src_ol1/src_ol2 point sets) and vis.py's Results dump."""
+    import numpy as np
+    from pointcloudregistration_tpu.core.geometry import square_dists
+
+    records = []
+    for b in range(n_batches):
+        batch = make_batch(jax.random.fold_in(key, b), cfg)
+        out = state.apply_fn({"params": state.params}, batch["src"],
+                             batch["tgt"], train=False)
+        R, t = out["pred_Ts"][-1]
+        gt_src = se3.transform(batch["src"][..., :3], batch["R_gt"],
+                               batch["t_gt"])
+        # GT overlap: src points with a tgt point within 0.05 after GT align
+        d = square_dists(gt_src, batch["tgt"][..., :3])
+        gt_ol = jnp.min(d, -1) < 0.05 * 0.05              # (B, N)
+        # predicted overlap sets: which raw src points appear in src_ol1/2
+        d1 = square_dists(out["src_ol1"], batch["src"][..., :3])
+        in_ol1 = jnp.min(d1, -2) < 1e-8                   # (B, N)
+        d2 = square_dists(out["src_ol2"], batch["src"][..., :3])
+        in_ol2 = jnp.min(d2, -2) < 1e-8
+        p1, r1 = metrics.overlap_precision_recall(in_ol1, gt_ol)
+        p2, r2 = metrics.overlap_precision_recall(in_ol2, gt_ol)
+        records.append({
+            "rre": np.asarray(metrics.isotropic_R_error(R, batch["R_gt"])),
+            "rte": np.asarray(metrics.isotropic_t_error(t, batch["t_gt"])),
+            "op_precision": np.asarray(p1), "op_recall": np.asarray(r1),
+            "rop_precision": np.asarray(p2), "rop_recall": np.asarray(r2),
+        })
+    agg = {k: float(np.mean(np.concatenate([r[k] for r in records])))
+           for k in records[0]}
+    if dump_path is not None:
+        np.savez_compressed(dump_path, **{
+            k: np.concatenate([r[k] for r in records]) for k in records[0]})
+    return agg
+
+
 def train(key: jax.Array, cfg: ROPNetTrainConfig = ROPNetTrainConfig(),
           steps: int = 100, n_folds: int = 1, log_every: int = 20):
     """Training driver. n_folds > 1 reproduces the reference's KFold outer
