@@ -52,6 +52,9 @@ class NDPConfig(NamedTuple):
     # effectively untruncated (trunc=1e+9, registration.py:236).
     trunc: float = 1e9
     mlp_scale: float = 1e-3   # near-identity init of the motion head
+    # NN backend for the data term: the Pallas kernel is ~4x faster than the
+    # blocked-jnp scan at 3k-point scale (no HBM distance matrices)
+    nn_backend: str = "auto"  # auto | pallas | jnp
 
 
 def _level_freq(cfg: NDPConfig, level: jax.Array) -> jax.Array:
@@ -97,11 +100,25 @@ def warp_level(params, x: jax.Array, freq: jax.Array,
     return warped, gate
 
 
+def _use_pallas(cfg: NDPConfig) -> bool:
+    if cfg.nn_backend == "pallas":
+        return True
+    if cfg.nn_backend == "jnp":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def _level_loss(params, x, tgt, freq, use_gate, data_mask, tgt_mask, cfg,
                 ldmk_idx=None, ldmk_tgt=None, w_ldmk=0.0):
     warped, gate = warp_level(params, x, freq, use_gate)
-    data = _knn.truncated_chamfer(warped, tgt, cfg.trunc,
-                                  x_mask=data_mask, y_mask=tgt_mask)
+    if _use_pallas(cfg):
+        from pointcloudregistration_tpu.ops import nnd_pallas
+        data = nnd_pallas.truncated_chamfer(warped, tgt, cfg.trunc,
+                                            x_mask=data_mask,
+                                            y_mask=tgt_mask)
+    else:
+        data = _knn.truncated_chamfer(warped, tgt, cfg.trunc,
+                                      x_mask=data_mask, y_mask=tgt_mask)
     loss = jnp.mean(data)
     if ldmk_idx is not None:
         # landmark-guided variant (LNDP): squared error on matched pairs

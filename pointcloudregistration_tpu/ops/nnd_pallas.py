@@ -148,14 +148,24 @@ def chamfer(x: jax.Array, y: jax.Array, sqrt: bool = False):
     return jnp.mean(d1, -1) + jnp.mean(d2, -1)
 
 
-def truncated_chamfer(x: jax.Array, y: jax.Array, trunc: float):
+def truncated_chamfer(x: jax.Array, y: jax.Array, trunc: float,
+                      x_mask: jax.Array | None = None,
+                      y_mask: jax.Array | None = None):
     """Truncated symmetric Chamfer (NDP data term) on the Pallas path.
 
+    Masks supported by displacing masked points to the far sentinel before
+    the kernel (they never win a search) and excluding them from the means.
     (reference semantics: deformationpyramid/model/loss.py:60-218)
     """
-    d1, _, d2, _ = nn_distance(x, y)
+    xs = x if x_mask is None else jnp.where(x_mask[..., None], x, _SENTINEL)
+    ys = y if y_mask is None else jnp.where(y_mask[..., None], y, _SENTINEL)
+    d1, _, d2, _ = nn_distance(xs, ys)
     k1 = d1 < trunc
     k2 = d2 < trunc
+    if x_mask is not None:
+        k1 = k1 & x_mask
+    if y_mask is not None:
+        k2 = k2 & y_mask
     c1 = jnp.sum(jnp.where(k1, d1, 0.0), -1) / jnp.maximum(jnp.sum(k1, -1), 1)
     c2 = jnp.sum(jnp.where(k2, d2, 0.0), -1) / jnp.maximum(jnp.sum(k2, -1), 1)
     return c1 + c2

@@ -175,3 +175,18 @@ def test_grid_subsample_masked_and_capacity():
     # tiny capacity: never crashes, keeps <= capacity rows
     sub2, live2 = subsample.grid_subsample(jnp.asarray(pts), 0.1, 16)
     assert np.asarray(live2).sum() <= 16
+
+
+def test_pallas_truncated_chamfer_masked_matches_jnp():
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(150, 3)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(200, 3)).astype(np.float32))
+    xm = jnp.asarray(rng.uniform(size=150) > 0.3)
+    ym = jnp.asarray(rng.uniform(size=200) > 0.3)
+    ref = knn.truncated_chamfer(x, y, 0.5, x_mask=xm, y_mask=ym)
+    got = nnd_pallas.truncated_chamfer(x, y, 0.5, x_mask=xm, y_mask=ym)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-4)
+    # untruncated masked variant too (NDP default trunc)
+    ref2 = knn.truncated_chamfer(x, y, 1e9, x_mask=xm, y_mask=ym)
+    got2 = nnd_pallas.truncated_chamfer(x, y, 1e9, x_mask=xm, y_mask=ym)
+    np.testing.assert_allclose(float(got2), float(ref2), rtol=1e-4)
