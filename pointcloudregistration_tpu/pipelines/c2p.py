@@ -35,7 +35,10 @@ class C2PConfig(NamedTuple):
     normal_k: int = 16
     ransac_thresh: float = 0.05      # ~ first_subsampling_dl mapping,
                                      # testScript.py:112-119
-    ransac_hypotheses: int = 8192
+    # FPFH mutual matches run ~6% inliers; 32k hypotheses give P(>=1
+    # all-inlier triplet) ~ 99.9% (the reference's Open3D loop uses 100k
+    # sequential iterations; scoring here is one (H, N) matmul)
+    ransac_hypotheses: int = 32768
     icp_dist: float = 0.1
     icp_dist_final: float = 0.02
     icp_iters: int = 25
@@ -97,9 +100,14 @@ def register_pair(key: jax.Array, source: jax.Array, target: jax.Array,
         data_mask = jnp.where(enough, data_mask, source_mask)
         warped, aux = ndp_mod.fit(k_ndp, aligned, target, cfg.ndp,
                                   data_mask=data_mask, tgt_mask=target_mask)
-        out["warped"] = warped
-        out["chamfer_nonrigid"] = knn_ops.chamfer(
-            warped, target, source_mask, target_mask, sqrt=True)
+        cd_warped = knn_ops.chamfer(warped, target, source_mask,
+                                    target_mask, sqrt=True)
+        # no-harm guard: a per-pair optimizer can occasionally diverge on an
+        # already-well-aligned pair; keep the rigid result when it is better
+        improved = cd_warped < cd_rigid
+        out["warped"] = jnp.where(improved, warped, aligned)
+        out["chamfer_nonrigid"] = jnp.minimum(cd_warped, cd_rigid)
+        out["ndp_improved"] = improved
         out["ndp_losses"] = aux["losses"]
     return out
 
