@@ -70,6 +70,60 @@ def arap_cost(graph, node_R: jax.Array, node_t: jax.Array) -> jax.Array:
     return jnp.mean(jnp.sum((pred - actual) ** 2, -1))
 
 
+@partial(jax.jit, static_argnames=("k", "relax_iters"))
+def geodesic_distances(points: jax.Array, sources: jax.Array, k: int = 8,
+                       relax_iters: int = 32,
+                       mask: jax.Array | None = None) -> jax.Array:
+    """Approximate geodesic distance field over the cloud's kNN graph.
+
+    Parity with the cxx geodesic machinery (graph_proc.cpp
+    compute_edges_geodesic / compute_pixel_anchors_geodesic): Bellman-Ford
+    relaxation over the kNN graph, scanned for a fixed iteration budget.
+    points (N, 3), sources (S,) seed indices -> (S, N) distances (inf-like
+    1e9 for unreachable).
+    """
+    N = points.shape[0]
+    d2, nbr = knn_ops.knn(points, points, k + 1, mask, mask)
+    nbr = nbr[:, 1:]
+    w = jnp.sqrt(jnp.maximum(d2[:, 1:], 0.0))            # edge lengths
+
+    def single(src):
+        dist0 = jnp.full((N,), 1e9).at[src].set(0.0)
+
+        def relax(dist, _):
+            cand = dist[nbr] + w                          # (N, k)
+            return jnp.minimum(dist, jnp.min(cand, -1)), None
+
+        dist, _ = jax.lax.scan(relax, dist0, None, length=relax_iters)
+        return dist
+
+    return jax.vmap(single)(sources)
+
+
+def build_graph_geodesic(points: jax.Array, n_nodes: int = 128,
+                         n_edges: int = 8, n_anchors: int = 4,
+                         coverage_radius: float = 0.1,
+                         mask: jax.Array | None = None):
+    """Deformation graph with geodesic node-node edges and geodesic skinning
+    anchors — connects only along the surface, so separate branches of a
+    vessel tree deform independently (the reason the reference computes
+    geodesic edges at all)."""
+    node_idx = fps_mod.fps(points, n_nodes, mask)
+    nodes = points[node_idx]
+    gd = geodesic_distances(points, node_idx, mask=mask)  # (K, N)
+    node_gd = gd[:, node_idx]                             # (K, K)
+    big = 1e9
+    node_gd = jnp.where(jnp.eye(n_nodes, dtype=bool), big, node_gd)
+    _, edges = jax.lax.top_k(-node_gd, n_edges)
+    d_anchor = gd[:, :].T                                 # (N, K)
+    _, anchors = jax.lax.top_k(-d_anchor, n_anchors)
+    da = jnp.take_along_axis(d_anchor, anchors, -1)
+    w = jnp.exp(-da ** 2 / (2.0 * coverage_radius ** 2))
+    w = w / jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-9)
+    return {"nodes": nodes, "node_idx": node_idx, "edges": edges,
+            "anchors": anchors, "weights": w}
+
+
 @partial(jax.jit, static_argnames=("iters", "n_nodes"))
 def nicp_register(key: jax.Array, src: jax.Array, tgt: jax.Array,
                   iters: int = 100, n_nodes: int = 128,

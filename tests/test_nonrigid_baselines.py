@@ -110,3 +110,31 @@ def test_dispatcher_all_models():
                                         cfg, tgt_mask=tmask)
         assert warped.shape == src.shape
         assert np.isfinite(float(aux["chamfer_after"]))
+
+
+def test_geodesic_distances_respect_topology():
+    """Two parallel line segments: geodesic distance between them is huge
+    even though euclidean distance is small."""
+    t = np.linspace(0, 1, 50, dtype=np.float32)
+    line1 = np.stack([t, np.zeros_like(t), np.zeros_like(t)], -1)
+    line2 = np.stack([t, np.full_like(t, 0.5), np.zeros_like(t)], -1)
+    pts = jnp.asarray(np.concatenate([line1, line2]))
+    gd = dg.geodesic_distances(pts, jnp.asarray([0]), k=3, relax_iters=64)
+    gd = np.asarray(gd)[0]
+    # along line1: finite, roughly arc length
+    assert gd[49] < 1.5
+    # line2 unreachable through the 3-NN graph
+    assert gd[50:].min() > 1e8
+
+
+def test_build_graph_geodesic():
+    pts = synthetic.vessel_phantom(jax.random.PRNGKey(20), 400)
+    g = dg.build_graph_geodesic(pts, n_nodes=24, n_edges=4, n_anchors=4)
+    assert g["edges"].shape == (24, 4)
+    np.testing.assert_allclose(np.asarray(g["weights"]).sum(-1), 1.0,
+                               atol=1e-4)
+    # warp with identity is identity
+    warped = dg.ed_warp(pts, g, jnp.tile(jnp.eye(3), (24, 1, 1)),
+                        jnp.zeros((24, 3)))
+    np.testing.assert_allclose(np.asarray(warped), np.asarray(pts),
+                               atol=1e-5)
