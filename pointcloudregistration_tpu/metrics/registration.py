@@ -112,3 +112,51 @@ def hausdorff(x: jax.Array, y: jax.Array, x_mask=None, y_mask=None):
     h1 = jnp.sqrt(jnp.max(d1, -1))
     h2 = jnp.sqrt(jnp.max(d2, -1))
     return jnp.maximum(h1, h2)
+
+
+def transform_rmse(src: jax.Array, R_pred: jax.Array, R_gt: jax.Array,
+                   t_pred: jax.Array, t_gt: jax.Array) -> jax.Array:
+    """MVP-RG-style RMSE between a cloud under predicted vs GT transforms:
+    mean per-point Euclidean distance (reference:
+    ngenet/metrics/mvp_rg.py:11-24 `RMSE`). Batched: src (B,N,3)."""
+    a = se3.transform(src, R_pred, t_pred)
+    b = se3.transform(src, R_gt, t_gt)
+    return jnp.mean(jnp.linalg.norm(a - b, axis=-1), axis=-1)
+
+
+def correspondence_rmse(src: jax.Array, tgt: jax.Array,
+                        gt_corr_src: jax.Array, gt_corr_tgt: jax.Array,
+                        R_pred: jax.Array, t_pred: jax.Array,
+                        corr_mask: jax.Array | None = None) -> jax.Array:
+    """RMSE over GT correspondences after the predicted transform
+    (reference: threedmatch.py:28-44 `registration_recall_core`)."""
+    s = se3.transform(src[gt_corr_src], R_pred, t_pred)
+    t = tgt[gt_corr_tgt]
+    se = jnp.sum((s - t) ** 2, axis=-1)
+    if corr_mask is not None:
+        mse = jnp.sum(jnp.where(corr_mask, se, 0.0)) / jnp.maximum(
+            jnp.sum(corr_mask), 1)
+    else:
+        mse = jnp.mean(se)
+    return jnp.sqrt(mse)
+
+
+def mutual_inlier_ratio(src: jax.Array, tgt: jax.Array,
+                        row_nn: jax.Array, col_nn: jax.Array,
+                        R_gt: jax.Array, t_gt: jax.Array,
+                        threshold: float = 0.1,
+                        src_mask: jax.Array | None = None):
+    """Inlier ratio + mutual-NN inlier ratio of feature matches
+    (reference: threedmatch.py:8-25 `inlier_ratio_core`): row_nn[i] is
+    src i's NN in tgt feature space, col_nn[j] is tgt j's NN in src.
+    Mutual pairs are those with col_nn[row_nn[i]] == i; statics-friendly
+    (masked mean instead of gather of a ragged set)."""
+    src_t = se3.transform(src, R_gt, t_gt)
+    d2 = jnp.sum((src_t - tgt[row_nn]) ** 2, axis=-1)
+    ok = d2 < threshold * threshold
+    valid = (src_mask if src_mask is not None
+             else jnp.ones(src.shape[0], bool))
+    ir = jnp.sum(ok & valid) / jnp.maximum(jnp.sum(valid), 1)
+    mutual = (col_nn[row_nn] == jnp.arange(src.shape[0])) & valid
+    mir = jnp.sum(ok & mutual) / jnp.maximum(jnp.sum(mutual), 1)
+    return ir, mir

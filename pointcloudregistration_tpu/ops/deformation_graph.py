@@ -199,3 +199,111 @@ def nsfp_register(key: jax.Array, src: jax.Array, tgt: jax.Array,
     (params, _), losses = jax.lax.scan(step, (params, opt_state), None,
                                        length=iters)
     return src + flow(params, src), {"losses": losses}
+
+
+def nerfies_regularization_from_points(warp_fn, points: jax.Array,
+                                       eps: float = 1e-6) -> jax.Array:
+    """Elastic regularization of a warp field: mean squared log of the
+    largest singular value of the per-point warp Jacobian (the reference's
+    `nerfies_regularization`, deformationpyramid/model/loss.py:333-340,
+    fed by `Nerfies_Deformation.batched_jacobian`, nets.py:213-215).
+
+    sigma_max comes from a short power iteration on J^T J rather than the
+    closed-form 3x3 eig: the eig's acos-based gradient is singular at
+    repeated eigenvalues (J ~ c*I early in training), which NaNs the
+    optimizer on TPU; the Rayleigh quotient is smooth there."""
+    J = jax.vmap(jax.jacfwd(warp_fn))(points)            # (N, 3, 3)
+    JtJ = jnp.einsum("nij,nik->njk", J, J)
+    v = jnp.full((points.shape[0], 3), 1.0 / jnp.sqrt(3.0), points.dtype)
+    for _ in range(8):
+        v = jnp.einsum("nij,nj->ni", JtJ, v)
+        v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + eps)
+    s2 = jnp.einsum("ni,nij,nj->n", v, JtJ, v)           # sigma_max^2
+    smax = jnp.sqrt(jnp.maximum(s2, eps * eps))
+    return jnp.mean(jnp.log(smax) ** 2)
+
+
+def nerfies_register(key: jax.Array, src: jax.Array, tgt: jax.Array,
+                     iters: int = 300, width: int = 128, depth: int = 7,
+                     m: int = 6, k0: int = -3, lr: float = 1e-3,
+                     w_reg: float = 1e-3, trunc: float = 1e9,
+                     src_mask=None, tgt_mask=None):
+    """Nerfies-style deformation baseline: annealed sinusoidal positional
+    encoding (sliding-window weights over m=6 frequency bands opened over
+    the first 60% of iterations) -> MLP -> per-point SE(3) screw field;
+    objective = truncated Chamfer + w_reg * elastic Jacobian penalty.
+
+    (reference behavior: deformationpyramid/model/nets.py:187-253
+    `Nerfies_Deformation`; registration.py:292-365 `optimize_Nerfies`:
+    Adam lr, loss = cd + 0.001*reg, mean-centering both clouds.)
+    """
+    import optax
+
+    n_anneal = 0.6 * iters
+    dim_in = 6 * m + 3
+
+    keys = jax.random.split(key, depth + 3)
+    dims = [dim_in] + [width] * depth
+    params = {"mlp": [
+        {"w": jax.random.normal(keys[i], (dims[i], dims[i + 1]))
+         * jnp.sqrt(2.0 / dims[i]),
+         "b": jnp.zeros(dims[i + 1])} for i in range(depth)]}
+    params["w_head"] = {"w": jax.random.normal(keys[-2], (width, 3)) * 1e-4,
+                        "b": jnp.zeros(3)}
+    params["v_head"] = {"w": jax.random.normal(keys[-1], (width, 3)) * 1e-4,
+                        "b": jnp.zeros(3)}
+
+    freqs = 2.0 ** (jnp.arange(m, dtype=src.dtype) + k0) * jnp.pi
+
+    def posenc(x, it):
+        # sliding-window anneal (nets.py:218-240): band j opens as the
+        # normalized progress a = m*it/N passes j.
+        a = m * it / n_anneal
+        w_a = (1.0 - jnp.cos(
+            jnp.clip(a - jnp.arange(m, dtype=x.dtype), 0.0, 1.0)
+            * jnp.pi)) / 2.0
+        ang = x[..., :, None] * freqs                    # (..., 3, m)
+        enc = jnp.concatenate(
+            [(jnp.sin(ang) * w_a).reshape(*x.shape[:-1], -1),
+             (jnp.cos(ang) * w_a).reshape(*x.shape[:-1], -1)], axis=-1)
+        return jnp.concatenate([x, enc], axis=-1)
+
+    def warp(p, x, it):
+        h = posenc(x, it)
+        for layer in p["mlp"]:
+            h = jax.nn.relu(h @ layer["w"] + layer["b"])
+        w = h @ p["w_head"]["w"] + p["w_head"]["b"]
+        v = h @ p["v_head"]["w"] + p["v_head"]["b"]
+        R, t = se3.exp_se3(jnp.concatenate([w, v], axis=-1))
+        return jnp.squeeze(R @ x[..., None], -1) + t
+
+    # cancel global translation (registration.py:311-315)
+    s_mean = (jnp.mean(src, 0) if src_mask is None else
+              jnp.sum(jnp.where(src_mask[:, None], src, 0.0), 0)
+              / jnp.maximum(jnp.sum(src_mask), 1))
+    t_mean = (jnp.mean(tgt, 0) if tgt_mask is None else
+              jnp.sum(jnp.where(tgt_mask[:, None], tgt, 0.0), 0)
+              / jnp.maximum(jnp.sum(tgt_mask), 1))
+    src_c, tgt_c = src - s_mean, tgt - t_mean
+
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, it):
+        warped = warp(p, src_c, it)
+        cd = jnp.mean(knn_ops.truncated_chamfer(
+            warped, tgt_c, trunc, x_mask=src_mask, y_mask=tgt_mask))
+        reg = nerfies_regularization_from_points(
+            lambda x: warp(p, x, it), src_c)
+        return cd + w_reg * reg
+
+    def step(carry, it):
+        p, s = carry
+        loss, g = jax.value_and_grad(loss_fn)(p, it)
+        updates, s = opt.update(g, s, p)
+        return (optax.apply_updates(p, updates), s), loss
+
+    (params, _), losses = jax.lax.scan(
+        step, (params, opt_state), jnp.arange(iters, dtype=src.dtype))
+    warped = warp(params, src_c, jnp.asarray(iters, src.dtype)) + t_mean
+    return warped, {"losses": losses}

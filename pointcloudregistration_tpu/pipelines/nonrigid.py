@@ -2,9 +2,8 @@
 
 Parity with c2p-net/deformationpyramid/model/registration.py:45-146
 (`Registration` class: load_pcds + register dispatching on
-deformation_model in {NDP, Sinkhorn, ED, NSFP}; the Nerfies variant is the
-NSFP MLP with an SE(3) output head, covered by NDP's per-point SE(3)
-layers). Functional API: one call = one registered pair.
+deformation_model in {NDP, Sinkhorn, ED, NSFP, Nerfies}).
+Functional API: one call = one registered pair.
 """
 
 from __future__ import annotations
@@ -30,6 +29,8 @@ class NonRigidConfig(NamedTuple):
     ed_iters: int = 100
     ed_w_arap: float = 10.0
     nsfp_iters: int = 300
+    nerfies_iters: int = 300
+    nerfies_w_reg: float = 1e-3
     trunc: float = 1e9
 
 
@@ -60,6 +61,10 @@ def register(key: jax.Array, src: jax.Array, tgt: jax.Array,
         warped, aux = dg.nsfp_register(
             key, src, tgt, iters=cfg.nsfp_iters, trunc=cfg.trunc,
             src_mask=src_mask, tgt_mask=tgt_mask)
+    elif cfg.model == "Nerfies":
+        warped, aux = dg.nerfies_register(
+            key, src, tgt, iters=cfg.nerfies_iters, trunc=cfg.trunc,
+            w_reg=cfg.nerfies_w_reg, src_mask=src_mask, tgt_mask=tgt_mask)
     else:
         raise ValueError(f"unknown deformation model {cfg.model!r}")
     after = knn_ops.chamfer(warped, tgt, src_mask, tgt_mask, sqrt=True)

@@ -102,10 +102,10 @@ def test_nsfp_reduces_chamfer():
 def test_dispatcher_all_models():
     src, tgt, tmask = _deformed_pair(250)
     tiny_ndp = ndp.NDPConfig(m=3, k0=-2, depth=2, width=16, iters=8)
-    for model in ("NDP", "Sinkhorn", "ED", "NSFP"):
+    for model in ("NDP", "Sinkhorn", "ED", "NSFP", "Nerfies"):
         cfg = nonrigid.NonRigidConfig(model=model, ndp=tiny_ndp,
                                       ed_iters=20, nsfp_iters=30,
-                                      ed_nodes=32)
+                                      nerfies_iters=20, ed_nodes=32)
         warped, aux = nonrigid.register(jax.random.PRNGKey(7), src, tgt,
                                         cfg, tgt_mask=tmask)
         assert warped.shape == src.shape
@@ -138,3 +138,26 @@ def test_build_graph_geodesic():
                         jnp.zeros((24, 3)))
     np.testing.assert_allclose(np.asarray(warped), np.asarray(pts),
                                atol=1e-5)
+
+
+def test_nerfies_reduces_chamfer():
+    src, tgt, tmask = _deformed_pair(300)
+    warped, aux = dg.nerfies_register(jax.random.PRNGKey(8), src, tgt,
+                                      iters=120, width=64, depth=3,
+                                      tgt_mask=tmask)
+    before = float(knn_ops.chamfer(src, tgt, y_mask=tmask))
+    after = float(knn_ops.chamfer(warped, tgt, y_mask=tmask))
+    assert after < before
+    assert np.all(np.isfinite(np.asarray(aux["losses"])))
+
+
+def test_nerfies_regularization_identity_warp_is_zero():
+    pts = jnp.asarray(np.random.default_rng(0).normal(size=(50, 3)),
+                      jnp.float32)
+    reg_id = float(dg.nerfies_regularization_from_points(lambda x: x, pts))
+    assert abs(reg_id) < 1e-8
+    # a uniform scale s has all singular values = s -> reg = log(s)^2
+    s = 2.0
+    reg_scale = float(dg.nerfies_regularization_from_points(
+        lambda x: s * x, pts))
+    assert abs(reg_scale - np.log(s) ** 2) < 1e-5
