@@ -1,3 +1,4 @@
-from pointcloudregistration_tpu.data import synthetic, augment
+from pointcloudregistration_tpu.data import (augment, benchmarks, loaders,
+                                             mri, synthetic)
 
-__all__ = ["synthetic", "augment"]
+__all__ = ["augment", "benchmarks", "loaders", "mri", "synthetic"]

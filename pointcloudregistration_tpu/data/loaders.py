@@ -90,16 +90,32 @@ _CONTRACT_KEYS = ("source", "target", "src_normals", "tgt_normals",
 
 
 def load_ransac_pickle(path: str) -> list[dict]:
-    """Load the reference's training pickle: a dict/list of sample dicts
-    keyed per RANSAC.py:128-132. Returns a list of normalized dicts."""
+    """Load the reference's training pickle and return a list of row dicts.
+
+    The on-disk contract is COLUMNAR: a dict whose keys are the contract
+    names and whose values are per-sample lists
+    (``{'source': [arr, ...], 'target': [...], ...}``,
+    DataPreparation/RANSAC.py:127-131). Row-major lists of dicts are also
+    accepted for convenience.
+    """
     with open(path, "rb") as f:
         raw = pickle.load(f)
-    samples = list(raw.values()) if isinstance(raw, dict) else list(raw)
-    out = []
-    for s in samples:
-        out.append({k: np.asarray(s[k]) if k in s else None
-                    for k in _CONTRACT_KEYS})
-    return out
+    if isinstance(raw, dict):
+        n = len(raw[next(iter(raw))])
+        return [{k: (np.asarray(raw[k][i]) if k in raw else None)
+                 for k in _CONTRACT_KEYS} for i in range(n)]
+    return [{k: (np.asarray(s[k]) if k in s else None)
+             for k in _CONTRACT_KEYS} for s in raw]
+
+
+def save_ransac_pickle_columnar(path: str, samples: list[dict]) -> None:
+    """Write rows back out in the reference's columnar layout so artifacts
+    are interchangeable with the reference's consumers
+    (dip/preprocess_correspondences.py:23-25, ROPNet/src/data/MRI.py:33,
+    c2p-net/ngenet/data/MRI.py:27)."""
+    data = {k: [s[k] for s in samples] for k in _CONTRACT_KEYS}
+    with open(path, "wb") as f:
+        pickle.dump(data, f)
 
 
 def save_ransac_pickle(path: str, samples: list[dict]) -> None:
