@@ -55,6 +55,15 @@ class NDPConfig(NamedTuple):
     # NN backend for the data term: the Pallas kernel is ~4x faster than the
     # blocked-jnp scan at 3k-point scale (no HBM distance matrices)
     nn_backend: str = "auto"  # auto | pallas | jnp
+    # Fixed-capacity data subset for the level optimization. The reference
+    # optimizes the pyramid ONLY on the RANSAC-inlier sample (s_sample =
+    # src[inds], registration.py:229-236) and warps the full cloud once at
+    # the end (registration.py:279-287); data_cap is the static-shape
+    # equivalent: up to data_cap masked-in points drive the optimization,
+    # the full cloud is warped once per level afterwards. None = optimize on
+    # the full cloud (the LNDP landmark path requires this: landmark indices
+    # address the full cloud).
+    data_cap: int | None = None
 
 
 def _level_freq(cfg: NDPConfig, level: jax.Array) -> jax.Array:
@@ -153,6 +162,23 @@ def fit(key: jax.Array, src: jax.Array, tgt: jax.Array,
     params0 = init_pyramid(key, cfg)
     opt = optax.adam(cfg.lr)
 
+    # fixed-capacity data subset (the reference's s_sample = src[inds],
+    # registration.py:229-236); landmark indices address the full cloud so
+    # the LNDP path keeps it
+    subset = (cfg.data_cap is not None and ldmk_idx is None
+              and cfg.data_cap < src.shape[-2])
+    if subset:
+        key, k_sel = jax.random.split(key)
+        # prefer masked-in points, break ties uniformly at random; points
+        # that don't fit the cap (or aren't inliers) fall out / stay masked
+        score = data_mask.astype(jnp.float32) \
+            + jax.random.uniform(k_sel, data_mask.shape, maxval=0.5)
+        _, sel = jax.lax.top_k(score, cfg.data_cap)
+        x_data = jnp.take_along_axis(src, sel[..., None], axis=-2)
+        sub_mask = jnp.take_along_axis(data_mask, sel, axis=-1)
+    else:
+        x_data, sub_mask = src, data_mask
+
     def run_level(x, inputs):
         params, level = inputs
         freq = _level_freq(cfg, level)
@@ -162,7 +188,7 @@ def fit(key: jax.Array, src: jax.Array, tgt: jax.Array,
         def adam_step(carry, _):
             p, s = carry
             loss, g = jax.value_and_grad(_level_loss)(
-                p, x, tgt, freq, use_gate, data_mask, tgt_mask, cfg,
+                p, x, tgt, freq, use_gate, sub_mask, tgt_mask, cfg,
                 ldmk_idx, ldmk_tgt, w_ldmk)
             updates, s = opt.update(g, s, p)
             p = optax.apply_updates(p, updates)
@@ -172,10 +198,22 @@ def fit(key: jax.Array, src: jax.Array, tgt: jax.Array,
             adam_step, (params, opt_state), None, length=cfg.iters)
         warped, gate = warp_level(params_f, x, freq, use_gate)
         # detach: next level treats this level's output as data
-        return jax.lax.stop_gradient(warped), (losses, jnp.mean(gate))
+        return jax.lax.stop_gradient(warped), (params_f, losses,
+                                               jnp.mean(gate))
 
     levels = jnp.arange(cfg.m, dtype=jnp.float32)
-    warped, (losses, gates) = jax.lax.scan(run_level, src, (params0, levels))
+    warped, (params_all, losses, gates) = jax.lax.scan(
+        run_level, x_data, (params0, levels))
+
+    if subset:
+        # final full-cloud warp through the frozen pyramid, once per level
+        # (registration.py:279-287)
+        def apply_level(x, inputs):
+            params, level = inputs
+            out, _ = warp_level(params, x, _level_freq(cfg, level),
+                                level > 0)
+            return out, None
+        warped, _ = jax.lax.scan(apply_level, src, (params_all, levels))
     return warped, {"losses": losses, "gate_means": gates}
 
 

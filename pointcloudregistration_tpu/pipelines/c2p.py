@@ -46,7 +46,7 @@ class C2PConfig(NamedTuple):
     run_ndp: bool = True
     ndp: ndp_mod.NDPConfig = ndp_mod.NDPConfig(
         m=7, k0=-4, depth=3, width=64, iters=30, lr=0.01,
-        w_reg=0.005, trunc=0.1)
+        w_reg=0.005, trunc=0.1, data_cap=1024)
 
 
 def _features(points, mask, cfg: C2PConfig):
