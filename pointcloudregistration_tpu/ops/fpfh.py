@@ -45,9 +45,14 @@ def _hist_soft(values: jax.Array, lo: float, hi: float,
 
 @partial(jax.jit, static_argnames=("k",))
 def spfh(points: jax.Array, normals: jax.Array, radius: float, k: int = 64,
-         mask: jax.Array | None = None):
-    """Simplified PFH: (..., N, 3) x2 -> (..., N, 33) histograms."""
-    d2, idx = _knn.knn(points, points, k, mask, mask)
+         mask: jax.Array | None = None, neighbors=None):
+    """Simplified PFH: (..., N, 3) x2 -> (..., N, 33) histograms.
+
+    `neighbors`: optional precomputed (sqdists, idx) k-NN table (e.g. shared
+    with normal estimation) to avoid a second 1-NN/top-k pass.
+    """
+    d2, idx = _knn.knn(points, points, k, mask, mask) \
+        if neighbors is None else neighbors
     in_r = d2 <= radius * radius
     if mask is not None:
         in_r = in_r & mask[..., None]
@@ -76,9 +81,9 @@ def spfh(points: jax.Array, normals: jax.Array, radius: float, k: int = 64,
 
 @partial(jax.jit, static_argnames=("k",))
 def fpfh(points: jax.Array, normals: jax.Array, radius: float, k: int = 64,
-         mask: jax.Array | None = None) -> jax.Array:
+         mask: jax.Array | None = None, neighbors=None) -> jax.Array:
     """FPFH descriptors: (..., N, 3) x2 -> (..., N, 33), L2-normalized."""
-    h_spfh, idx, dist, w = spfh(points, normals, radius, k, mask)
+    h_spfh, idx, dist, w = spfh(points, normals, radius, k, mask, neighbors)
     hj = gather_points(h_spfh, idx)                    # (..., N, K, 33)
     wd = w / (dist + _EPS)
     wd = jnp.where(w > 0, wd, 0.0)

@@ -125,21 +125,30 @@ def truncated_chamfer(x: jax.Array, y: jax.Array, trunc: float,
     return c1 + c2
 
 
-@partial(jax.jit, static_argnames=("k", "block"))
+@partial(jax.jit, static_argnames=("k", "block", "approx"))
 def knn(query: jax.Array, ref: jax.Array, k: int,
-        query_mask=None, ref_mask=None, block: int = 4096):
+        query_mask=None, ref_mask=None, block: int = 4096,
+        approx: bool = False):
     """K nearest neighbors: returns (sqdists (..., N, k), idx (..., N, k)).
 
     Blocked merge: scan ref blocks, keep a running top-k via lax.top_k on the
     concatenation of the carry and the new block's candidates. Peak live
     buffer is (..., N, k + block), never (..., N, M).
+
+    approx=True uses the TPU-native `lax.approx_max_k` (recall ~0.95 per
+    query) — considerably faster than exact top-k for neighborhood features
+    (FPFH/LRF/normals) where a stray 33rd-nearest neighbor is harmless.
+    Exact by default; golden tests cover the exact path.
     """
     M = ref.shape[-2]
     if M <= block:
         d = square_dists(query, ref)
         if ref_mask is not None:
             d = jnp.where(ref_mask[..., None, :], d, _BIG)
-        negd, idx = jax.lax.top_k(-d, k)
+        if approx:
+            negd, idx = jax.lax.approx_max_k(-d, k)
+        else:
+            negd, idx = jax.lax.top_k(-d, k)
         return -negd, idx.astype(jnp.int32)
 
     nblocks = -(-M // block)
@@ -162,7 +171,10 @@ def knn(query: jax.Array, ref: jax.Array, k: int,
         iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, d.ndim - 1) + j * block
         cat_d = jnp.concatenate([best_d, d], -1)
         cat_i = jnp.concatenate([best_i, iota], -1)
-        negd, pos = jax.lax.top_k(-cat_d, k)
+        if approx:
+            negd, pos = jax.lax.approx_max_k(-cat_d, k)
+        else:
+            negd, pos = jax.lax.top_k(-cat_d, k)
         return (-negd, jnp.take_along_axis(cat_i, pos, -1)), None
 
     init = (jnp.full(query.shape[:-1] + (k,), _BIG, query.dtype),

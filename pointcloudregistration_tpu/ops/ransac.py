@@ -57,8 +57,13 @@ def ransac_correspondences(key: jax.Array,
     # also reject hypotheses that picked duplicate correspondences
     dup = jnp.any((picks[:, :, None] == picks[:, None, :]) & off, (-2, -1))
     valid_h = valid_h & ~dup
-    # fit all hypotheses
-    R_h, t_h = procrustes.kabsch(s, t_)               # (H,3,3), (H,3)
+    # fit all hypotheses: triad frames (exact for exact triplets, ~20 ops)
+    # instead of 32k tiny SVDs; degenerate triangles are invalidated
+    if sample_size == 3:
+        R_h, t_h, ok_fit = procrustes.triad_fit(s, t_)  # (H,3,3), (H,3)
+        valid_h = valid_h & ok_fit
+    else:
+        R_h, t_h = procrustes.kabsch(s, t_)
     # score: inlier count over all correspondences
     src_t = se3.transform(src_corr[None], R_h, t_h)   # (H, N, 3)
     d = jnp.linalg.norm(src_t - tgt_corr[None], axis=-1)

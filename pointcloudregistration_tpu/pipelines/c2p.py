@@ -50,9 +50,16 @@ class C2PConfig(NamedTuple):
 
 
 def _features(points, mask, cfg: C2PConfig):
-    _, nidx = knn_ops.knn(points, points, cfg.normal_k, mask, mask)
-    normals = estimate_normals(points, nidx)
-    return fpfh_mod.fpfh(points, normals, cfg.fpfh_radius, cfg.fpfh_k, mask)
+    # one k-NN table serves both normal estimation (nearest normal_k of it —
+    # top_k output is distance-sorted) and the FPFH neighborhoods
+    k = max(cfg.fpfh_k, cfg.normal_k)
+    # approx top-k is fine for neighborhood features (a stray 33rd-nearest
+    # neighbor doesn't move a 33-bin histogram) and much faster on TPU
+    d2, nidx = knn_ops.knn(points, points, k, mask, mask, approx=True)
+    normals = estimate_normals(points, nidx[..., :cfg.normal_k])
+    return fpfh_mod.fpfh(points, normals, cfg.fpfh_radius, cfg.fpfh_k, mask,
+                         neighbors=(d2[..., :cfg.fpfh_k],
+                                    nidx[..., :cfg.fpfh_k]))
 
 
 @partial(jax.jit, static_argnames=("cfg",))
