@@ -28,7 +28,7 @@ REFERENCE_PAIRS_PER_SEC = 0.2  # conservative single-GPU reference estimate
 
 def main():
     n_points = 3000
-    batch = 8
+    batch = 16     # measured throughput knee on one v5e chip
     cfg = c2p.C2PConfig()
 
     key = jax.random.PRNGKey(0)
@@ -51,7 +51,7 @@ def main():
     out = step(jax.random.PRNGKey(1), *args)      # compile
     sync(out)
 
-    n_rep = 3
+    n_rep = 5
     t0 = time.perf_counter()
     for i in range(n_rep):
         out = step(jax.random.PRNGKey(2 + i), *args)
