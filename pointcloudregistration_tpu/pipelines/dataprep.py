@@ -156,3 +156,28 @@ def generate_dataset(key: jax.Array, cfg: DataPrepConfig = DataPrepConfig(),
     if out_path is not None:
         np.savez_compressed(out_path, **record)
     return record
+
+
+def export_ransac_pickle(record: dict, path: str,
+                         accepted_only: bool = True) -> int:
+    """Write a generated dataset in the reference's columnar pickle contract
+    (DataPreparation/RANSAC.py:127-131), so the MRI dataset family
+    (data/mri.py) and any reference-side consumer can read it. Returns the
+    number of samples written."""
+    from pointcloudregistration_tpu.data import loaders
+
+    keep = (np.asarray(record["accepted"], bool)
+            if accepted_only else np.ones(len(record["source"]), bool))
+    idx = np.nonzero(keep)[0]
+    rows = [{
+        "source": np.asarray(record["source"][i]),
+        "target": np.asarray(record["target"][i]),
+        "src_normals": np.asarray(record["src_normals"][i]),
+        "tgt_normals": np.asarray(record["tgt_normals"][i]),
+        "transformation": np.asarray(record["transformation"][i]),
+        "inlier_rmse": float(record["inlier_rmse"][i]),
+        "inlier_ratio": float(record["inlier_ratio"][i]),
+        "correspondence": np.asarray(record["correspondence"][i]),
+    } for i in idx]
+    loaders.save_ransac_pickle_columnar(path, rows)
+    return len(rows)

@@ -26,6 +26,7 @@ from pointcloudregistration_tpu.data import synthetic
 from pointcloudregistration_tpu.losses import hardest_contrastive
 from pointcloudregistration_tpu.models.dip import PointNetFeature
 from pointcloudregistration_tpu.ops import fps as fps_mod
+from pointcloudregistration_tpu.ops import icp as icp_mod
 from pointcloudregistration_tpu.ops import knn as knn_ops
 from pointcloudregistration_tpu.ops import lrf as lrf_mod
 from pointcloudregistration_tpu.ops import ransac as ransac_mod
@@ -94,6 +95,71 @@ def make_patch_pair_batch(key: jax.Array, cfg: DIPConfig):
         "patches2": jnp.einsum("ij,apj->api", R2, p2["patches"]),
         "valid1": p1["valid"], "valid2": p2["valid"],
     }
+
+
+@partial(jax.jit, static_argnames=("cfg", "icp_dist"))
+def preprocess_pair(key: jax.Array, src: jax.Array, tgt: jax.Array,
+                    transformation: jax.Array, cfg: DIPConfig,
+                    icp_dist: float = 0.03,
+                    src_mask=None, tgt_mask=None):
+    """Real-pair preprocessing: the reference's two-script flow in one jit.
+
+    preprocess_correspondences.py:42-94 — apply the stored GT transform,
+    ICP-refine (threshold 0.7 original / 0.03 cropped), keep NN
+    correspondences; preprocess_lrf.py:73-279 — FPS anchors on the source,
+    NN pairing on the target, per-anchor LRF patches both sides.
+
+    Returns dict(patches1, patches2, valid1, valid2, anchors, pair_idx,
+    corr_ok) ready for descriptor training on real data.
+    """
+    kf, kp1, kp2 = jax.random.split(key, 3)
+    R_gt, t_gt = transformation[:3, :3], transformation[:3, 3]
+    aligned = se3.transform(src, R_gt, t_gt)
+    # ICP polish of the stored alignment (preprocess_correspondences.py:55)
+    R, t, _ = icp_mod.icp(aligned, tgt, icp_dist, iters=15,
+                          src_mask=src_mask, tgt_mask=tgt_mask)
+    aligned = se3.transform(aligned, R, t)
+    anchors = fps_mod.fps(aligned, cfg.n_anchors, mask=src_mask,
+                          start_idx=jax.random.randint(
+                              kf, (), 0, src.shape[-2]))
+    d2, pair_idx = knn_ops.nn_search(aligned[anchors], tgt,
+                                     ref_mask=tgt_mask)
+    corr_ok = d2 < icp_dist * icp_dist
+    # patches in each cloud's OWN frame (not the aligned frame): the LRF
+    # must absorb the pose difference, as in preprocess_lrf.py:131-165
+    p1 = lrf_mod.lrf_patches(kp1, src, anchors, cfg.lrf_radius,
+                             cfg.lrf_k, cfg.patch_size,
+                             points_mask=src_mask)
+    p2 = lrf_mod.lrf_patches(kp2, tgt, pair_idx, cfg.lrf_radius,
+                             cfg.lrf_k, cfg.patch_size,
+                             points_mask=tgt_mask)
+    return {"patches1": p1["patches"], "patches2": p2["patches"],
+            "valid1": p1["valid"] & corr_ok[..., None],
+            "valid2": p2["valid"] & corr_ok[..., None],
+            "anchors": anchors, "pair_idx": pair_idx, "corr_ok": corr_ok}
+
+
+def preprocess_dataset(key: jax.Array, samples, cfg: DIPConfig,
+                       icp_dist: float = 0.03,
+                       out_path: str | None = None):
+    """Host driver: run `preprocess_pair` over a dataset of row dicts (e.g.
+    data.mri.MRIPairs items or loaders.load_ransac_pickle rows) and stack
+    into the patch stores the trainer streams (the HDF5-store analogue,
+    preprocess_lrf.py:166-172)."""
+    import numpy as np
+    outs = []
+    for i, s in enumerate(samples):
+        src = jnp.asarray(s.get("src", s.get("source"))[..., :3])
+        tgt = jnp.asarray(s.get("tgt", s.get("target"))[..., :3])
+        T = jnp.asarray(s.get("transformation",
+                              jnp.eye(4)), jnp.float32)
+        out = preprocess_pair(jax.random.fold_in(key, i), src, tgt, T,
+                              cfg, icp_dist)
+        outs.append(jax.tree.map(np.asarray, out))
+    stacked = {k: np.stack([o[k] for o in outs]) for k in outs[0]}
+    if out_path is not None:
+        np.savez_compressed(out_path, **stacked)
+    return stacked
 
 
 @partial(jax.jit, static_argnames=("cfg",))
