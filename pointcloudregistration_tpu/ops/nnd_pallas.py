@@ -107,6 +107,109 @@ def nn_search_T(xT: jax.Array, yT: jax.Array, tn: int = 1024, tm: int = 1024,
     return dist.reshape(-1)[:n], idx.reshape(-1)[:n]
 
 
+def _bidir_kernel(xT_ref, yT_ref, d1_ref, i1_ref, d2_ref, i2_ref,
+                  d2_scr, i2_scr, *, tm: int, n_tiles: int):
+    """Fused bidirectional NND: one pass produces BOTH directions.
+
+    Grid iterates x tiles sequentially (TPU grid order); the y-side running
+    (min, argmin) lives in VMEM scratch accumulated across grid steps and is
+    flushed to the outputs at the last tile. Halves kernel launches and
+    reads y once per x tile for both directions.
+    """
+    i = pl.program_id(0)
+    xT = xT_ref[:]                                     # (3, TN)
+    tn = xT.shape[1]
+    m = yT_ref.shape[1]
+    num_m_tiles = m // tm
+
+    @pl.when(i == 0)
+    def _init():
+        d2_scr[:] = jnp.full((m // 128, 128), _BIG, jnp.float32)
+        i2_scr[:] = jnp.zeros((m // 128, 128), jnp.int32)
+
+    def body(j, carry):
+        best_d, best_i = carry
+        yT = yT_ref[:, pl.ds(j * tm, tm)]              # (3, TM)
+        dx = xT[0, :][:, None] - yT[0, :][None, :]     # (TN, TM)
+        dy = xT[1, :][:, None] - yT[1, :][None, :]
+        dz = xT[2, :][:, None] - yT[2, :][None, :]
+        d = dx * dx + dy * dy + dz * dz
+        # x-side row mins (register carry)
+        dmin = jnp.min(d, axis=1)
+        imin = jnp.argmin(d, axis=1).astype(jnp.int32) + j * tm
+        take = dmin < best_d
+        # y-side col mins accumulated into scratch
+        cmin = jnp.min(d, axis=0)                      # (TM,)
+        cidx = jnp.argmin(d, axis=0).astype(jnp.int32) + i * tn
+        prev_d = d2_scr[pl.ds(j * tm // 128, tm // 128)]
+        prev_i = i2_scr[pl.ds(j * tm // 128, tm // 128)]
+        cmin2 = cmin.reshape(tm // 128, 128)
+        cidx2 = cidx.reshape(tm // 128, 128)
+        ctake = cmin2 < prev_d
+        d2_scr[pl.ds(j * tm // 128, tm // 128)] = jnp.where(ctake, cmin2,
+                                                            prev_d)
+        i2_scr[pl.ds(j * tm // 128, tm // 128)] = jnp.where(ctake, cidx2,
+                                                            prev_i)
+        return (jnp.where(take, dmin, best_d), jnp.where(take, imin, best_i))
+
+    init = (jnp.full((tn,), _BIG, jnp.float32), jnp.zeros((tn,), jnp.int32))
+    best_d, best_i = jax.lax.fori_loop(0, num_m_tiles, body, init)
+    d1_ref[0] = jnp.maximum(best_d, 0.0).reshape(tn // 128, 128)
+    i1_ref[0] = best_i.reshape(tn // 128, 128)
+
+    @pl.when(i == n_tiles - 1)
+    def _flush():
+        d2_ref[:] = jnp.maximum(d2_scr[:], 0.0)
+        i2_ref[:] = i2_scr[:]
+
+
+@partial(jax.jit, static_argnames=("tn", "tm", "interpret"))
+def nn_distance_T(xT: jax.Array, yT: jax.Array, tn: int = 1024,
+                  tm: int = 1024, interpret: bool = False):
+    """Bidirectional 1-NN of transposed clouds in ONE kernel call.
+
+    (3, N), (3, M) -> (d1 (N,), i1 (N,), d2 (M,), i2 (M,)).
+    """
+    assert tn % 1024 == 0, "tn must be a multiple of 1024 (8x128 tiles)"
+    n, m = xT.shape[1], yT.shape[1]
+    xTp = _pad_T(xT.astype(jnp.float32), tn)
+    yTp = _pad_T(yT.astype(jnp.float32), tm)
+    npad, mpad = xTp.shape[1], yTp.shape[1]
+    n_tiles = npad // tn
+    d1, i1, d2, i2 = pl.pallas_call(
+        partial(_bidir_kernel, tm=tm, n_tiles=n_tiles),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((3, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, mpad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tn // 128, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn // 128, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mpad // 128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mpad // 128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, tn // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, tn // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((mpad // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((mpad // 128, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((mpad // 128, 128), jnp.float32),
+            pltpu.VMEM((mpad // 128, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(xTp, yTp)
+    return (d1.reshape(-1)[:n], i1.reshape(-1)[:n],
+            d2.reshape(-1)[:m], i2.reshape(-1)[:m])
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -131,8 +234,12 @@ def nn_distance(x: jax.Array, y: jax.Array, tn: int = 1024, tm: int = 1024):
     # sever autodiff at the kernel boundary: the kernel only finds indices
     # (pallas_call has no AD rule); distances below re-derive differentiably
     xs, ys = jax.lax.stop_gradient(x), jax.lax.stop_gradient(y)
-    _, i1 = nn_search(xs, ys, tn, tm)
-    _, i2 = nn_search(ys, xs, tn, tm)
+    interp = _use_interpret()
+    f = partial(nn_distance_T, tn=tn, tm=tm, interpret=interp)
+    if x.ndim == 2:
+        _, i1, _, i2 = f(xs.T, ys.T)
+    else:
+        _, i1, _, i2 = jax.vmap(lambda a, b: f(a.T, b.T))(xs, ys)
     y_near = jnp.take_along_axis(y, i1[..., None], axis=-2)
     x_near = jnp.take_along_axis(x, i2[..., None], axis=-2)
     d1 = jnp.sum((x - y_near) ** 2, -1)

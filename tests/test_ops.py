@@ -104,6 +104,22 @@ def test_pallas_nnd_batched_and_grad():
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
 
 
+def test_pallas_bidir_kernel_matches_jnp():
+    """Fused bidirectional kernel vs the jnp reference, asymmetric sizes
+    crossing tile boundaries both sides."""
+    from pointcloudregistration_tpu.ops import knn as knn_ops
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(1500, 3)).astype(np.float32)
+    y = rng.normal(size=(2100, 3)).astype(np.float32)
+    d1, i1, d2, i2 = nnd_pallas.nn_distance_T(
+        jnp.asarray(x.T), jnp.asarray(y.T), interpret=True)
+    r1, j1, r2, j2 = knn_ops.nn_distance(jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(j1))
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(j2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(r1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(r2), atol=1e-5)
+
+
 def test_fps_spreads():
     rng = np.random.default_rng(1)
     # two well-separated clusters: FPS must pick from both
