@@ -1,3 +1,4 @@
-from pointcloudregistration_tpu.parallel import mesh, ring
+from pointcloudregistration_tpu.parallel import (distributed, mesh, pipeline,
+                                                 ring)
 
-__all__ = ["mesh", "ring"]
+__all__ = ["distributed", "mesh", "pipeline", "ring"]

@@ -85,6 +85,39 @@ def ring_nn_search(query_block: jax.Array, ref_block: jax.Array,
     return best_d, best_i
 
 
+def ring_nn_points(query_block: jax.Array, ref_block: jax.Array,
+                   ref_mask_block: jax.Array | None = None,
+                   axis_name: str = BLOCKS_AXIS):
+    """Like ring_nn_search but returns the nearest reference COORDINATES
+    (n, 3) alongside the squared distances.
+
+    Carrying coordinates through the ring avoids the cross-device gather a
+    global index would otherwise require — the consumer (distributed ICP,
+    Procrustes) needs the points, not the indices.
+    """
+    P_ = jax.lax.axis_size(axis_name)
+    perm = [((i + 1) % P_, i) for i in range(P_)]       # receive from right
+
+    def step(k, carry):
+        best_d, best_p, refb, maskb = carry
+        d, i = _local_min(query_block, refb,
+                          maskb if ref_mask_block is not None else None)
+        nn = refb[i]                                    # (n, 3)
+        take = d < best_d
+        best_d = jnp.where(take, d, best_d)
+        best_p = jnp.where(take[..., None], nn, best_p)
+        refb = jax.lax.ppermute(refb, axis_name, perm)
+        maskb = jax.lax.ppermute(maskb, axis_name, perm)
+        return best_d, best_p, refb, maskb
+
+    mask0 = (ref_mask_block if ref_mask_block is not None
+             else jnp.isfinite(ref_block[..., 0]))
+    init = (jnp.zeros_like(query_block[..., 0]) + _BIG,
+            query_block * 0.0, ref_block, mask0)
+    best_d, best_p, _, _ = jax.lax.fori_loop(0, P_, step, init)
+    return best_d, best_p
+
+
 def ring_chamfer(x_block: jax.Array, y_block: jax.Array,
                  x_mask_block=None, y_mask_block=None,
                  axis_name: str = BLOCKS_AXIS, sqrt: bool = False):
