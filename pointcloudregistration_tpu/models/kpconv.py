@@ -26,21 +26,46 @@ from pointcloudregistration_tpu.core.geometry import gather_points
 _PREC = jax.lax.Precision.HIGHEST
 
 
+def spherical_lloyd(num_points: int, radius: float = 1.0,
+                    n_samples: int = 20000, n_iter: int = 40,
+                    fixed_center: bool = True, seed: int = 42) -> np.ndarray:
+    """Lloyd-optimized kernel disposition in the ball — the reference's
+    `spherical_Lloyd` (kernel_points.py:66-243): k-means over uniform ball
+    samples, optionally pinning point 0 at the center ('center' fixed mode),
+    giving volumetric (not shell) dispositions. Deterministic given seed."""
+    rng = np.random.default_rng(seed)
+    # uniform samples in the unit ball (rejection-free: radius ~ u^(1/3))
+    dirs = rng.normal(size=(n_samples, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True) + 1e-12
+    samples = dirs * rng.random((n_samples, 1)) ** (1.0 / 3.0)
+    # init: random subset
+    centers = samples[rng.choice(n_samples, num_points, replace=False)]
+    if fixed_center:
+        centers[0] = 0.0
+    for _ in range(n_iter):
+        d2 = (np.sum(samples**2, 1)[:, None] + np.sum(centers**2, 1)[None]
+              - 2.0 * samples @ centers.T)
+        assign = np.argmin(d2, 1)
+        for k in range(1 if fixed_center else 0, num_points):
+            sel = samples[assign == k]
+            if len(sel):
+                centers[k] = sel.mean(0)
+    return (centers * radius).astype(np.float32)
+
+
 def kernel_points(num_points: int = 15, radius: float = 1.0) -> np.ndarray:
-    """Deterministic kernel disposition: center + Fibonacci sphere shell.
+    """Deterministic Lloyd-optimized kernel disposition, cached per shape.
 
     (reference: kernel_points.py:66-470 Lloyd-optimized dispositions cached
     as kernels/k_015_center.ply — 'center' fixed mode.)
     """
-    n_shell = num_points - 1
-    i = np.arange(n_shell)
-    phi = np.pi * (3.0 - np.sqrt(5.0))
-    y = 1.0 - 2.0 * (i + 0.5) / n_shell
-    r = np.sqrt(np.maximum(1.0 - y * y, 0.0))
-    pts = np.stack([np.cos(phi * i) * r, y, np.sin(phi * i) * r], -1)
-    # shell at ~0.7 radius like KPConv's optimized layouts
-    pts = pts * (0.66 * radius)
-    return np.concatenate([np.zeros((1, 3)), pts], 0).astype(np.float32)
+    key = (num_points, float(radius))
+    if key not in _KP_CACHE:
+        _KP_CACHE[key] = spherical_lloyd(num_points, radius)
+    return _KP_CACHE[key]
+
+
+_KP_CACHE: dict = {}
 
 
 class KPConv(nn.Module):

@@ -153,6 +153,29 @@ def evaluate(state: TrainState, key: jax.Array,
     return agg
 
 
+def vis_dump(state: TrainState, key: jax.Array, path: str,
+             cfg: ROPNetTrainConfig = ROPNetTrainConfig(),
+             n_batches: int = 4):
+    """Qualitative dump {source, target, pred} -> pickle, matching the
+    reference's Results.pickle (ROPNet/src/vis.py:21-82 vis_ROPNet)."""
+    import pickle
+
+    import numpy as np
+
+    src_l, tgt_l, pred_l = [], [], []
+    for b in range(n_batches):
+        batch = make_batch(jax.random.fold_in(key, b), cfg)
+        out = state.apply_fn({"params": state.params}, batch["src"],
+                             batch["tgt"], train=False)
+        for i in range(batch["src"].shape[0]):
+            src_l.append(np.asarray(batch["src"][i, :, :3]))
+            tgt_l.append(np.asarray(batch["tgt"][i, :, :3]))
+            pred_l.append(np.asarray(out["pred_src"][-1][i]))
+    with open(path, "wb") as f:
+        pickle.dump({"source": src_l, "target": tgt_l, "pred": pred_l}, f)
+    return len(src_l)
+
+
 def train(key: jax.Array, cfg: ROPNetTrainConfig = ROPNetTrainConfig(),
           steps: int = 100, n_folds: int = 1, log_every: int = 20):
     """Training driver. n_folds > 1 reproduces the reference's KFold outer

@@ -22,9 +22,12 @@ _CFG = ng.NgeNetTrainConfig(
 def test_kernel_points():
     kp = kernel_points(15)
     assert kp.shape == (15, 3)
-    assert np.allclose(kp[0], 0)
+    assert np.allclose(kp[0], 0)                  # pinned center
     r = np.linalg.norm(kp[1:], axis=-1)
-    assert np.allclose(r, r[0], atol=1e-5)        # shell
+    # volumetric Lloyd disposition inside the ball (kernel_points.py:66)
+    assert float(r.max()) <= 1.0 and float(r.min()) > 0.1
+    # cached: second call returns the identical array
+    assert np.array_equal(kp, kernel_points(15))
 
 
 def test_pyramid_structure():
@@ -87,3 +90,20 @@ def test_vote_consistency():
     # identical features -> all scales agree -> everything selected
     assert bool(sel.all())
     np.testing.assert_array_equal(np.asarray(idx), np.arange(64))
+
+
+def test_spherical_lloyd_disposition():
+    import numpy as np
+    from pointcloudregistration_tpu.models import kpconv
+    kp = kpconv.spherical_lloyd(15, radius=1.0, n_samples=4000, n_iter=15)
+    assert kp.shape == (15, 3)
+    assert np.allclose(kp[0], 0.0)                   # pinned center
+    r = np.linalg.norm(kp[1:], axis=1)
+    assert float(r.max()) <= 1.0 and float(r.min()) > 0.1
+    # points spread: pairwise min distance bounded away from zero
+    d = np.linalg.norm(kp[:, None] - kp[None], axis=-1)
+    d[np.arange(15), np.arange(15)] = 10.0
+    assert float(d.min()) > 0.2
+    # deterministic
+    kp2 = kpconv.spherical_lloyd(15, radius=1.0, n_samples=4000, n_iter=15)
+    assert np.array_equal(kp, kp2)

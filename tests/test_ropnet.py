@@ -67,3 +67,16 @@ def test_ropnet_eval_step():
     out = ropnet_pipe.eval_step(state, batch, _TCFG)
     assert out["rre"].shape == (2,)
     assert bool(jnp.isfinite(out["rre"]).all())
+
+
+def test_ropnet_vis_dump(tmp_path):
+    import pickle
+    key = jax.random.PRNGKey(10)
+    state = ropnet_pipe.create_train_state(key, _TCFG)
+    path = str(tmp_path / "Results.pickle")
+    n = ropnet_pipe.vis_dump(state, key, path, _TCFG, n_batches=1)
+    assert n == 2
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    assert set(data) == {"source", "target", "pred"}
+    assert data["pred"][0].shape == (256, 3)
