@@ -18,6 +18,23 @@ import jax.numpy as jnp
 from pointcloudregistration_tpu.core import se3, procrustes
 from pointcloudregistration_tpu.ops import knn as _knn
 
+_SENTINEL = 1e6
+
+
+def _nn(query, ref, query_mask, ref_mask, block):
+    """1-NN dispatch: Pallas kernel on TPU (masks via sentinel displacement),
+    blocked jnp elsewhere."""
+    if jax.default_backend() == "tpu":
+        from pointcloudregistration_tpu.ops import nnd_pallas
+        refs = ref if ref_mask is None else jnp.where(
+            ref_mask[..., None], ref, _SENTINEL)
+        d2, idx = nnd_pallas.nn_search(query, refs)
+        if query_mask is not None:
+            d2 = jnp.where(query_mask, d2, 0.0)
+            idx = jnp.where(query_mask, idx, 0)
+        return d2, idx
+    return _knn.nn_search(query, ref, query_mask, ref_mask, block)
+
 
 @partial(jax.jit, static_argnames=("iters", "block", "max_dist_final"))
 def icp(src: jax.Array, tgt: jax.Array, max_dist: float,
@@ -53,7 +70,7 @@ def icp(src: jax.Array, tgt: jax.Array, max_dist: float,
     def step(carry, dist_i):
         R, t = carry
         moved = se3.transform(src, R, t)
-        d2, idx = _knn.nn_search(moved, tgt, src_mask, tgt_mask, block=block)
+        d2, idx = _nn(moved, tgt, src_mask, tgt_mask, block)
         w = ((d2 < dist_i * dist_i) & src_mask).astype(src.dtype)
         nn = jnp.take_along_axis(tgt, idx[..., None], axis=-2)
         # solve on ORIGINAL src so composition errors don't accumulate
@@ -66,7 +83,7 @@ def icp(src: jax.Array, tgt: jax.Array, max_dist: float,
 
     (R, t), _ = jax.lax.scan(step, (R0, t0), dist_sched)
     moved = se3.transform(src, R, t)
-    d2, _ = _knn.nn_search(moved, tgt, src_mask, tgt_mask, block=block)
+    d2, _ = _nn(moved, tgt, src_mask, tgt_mask, block)
     inl = (d2 < max_dist_final * max_dist_final) & src_mask
     n_inl = jnp.sum(inl, -1)
     n_src = jnp.maximum(jnp.sum(src_mask, -1), 1)
