@@ -64,6 +64,19 @@ def _eigvec_for(A: jax.Array, lam: jax.Array, fallback: jax.Array) -> jax.Array:
     return v
 
 
+def smallest_eigvec3(A: jax.Array) -> jax.Array:
+    """Unit eigenvector of the smallest eigenvalue of symmetric (..., 3, 3).
+
+    The normal-estimation fast path: skips the other two eigenvectors and
+    the orthonormal-frame assembly of `eigh3` (~2x cheaper for covariance
+    normals, where only the plane normal is needed)."""
+    scale = jnp.maximum(jnp.max(jnp.abs(A), axis=(-2, -1)), _EPS)
+    An = A / scale[..., None, None]
+    w = eigvalsh3(An)
+    ez = jnp.zeros(An.shape[:-2] + (3,), An.dtype).at[..., 2].set(1.0)
+    return _eigvec_for(An, w[..., 0], ez)
+
+
 def eigh3(A: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Symmetric (..., 3, 3) -> (eigvals ascending (...,3), eigvecs (...,3,3)).
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from pointcloudregistration_tpu.core.eig3 import eigh3
+from pointcloudregistration_tpu.core.eig3 import eigh3, smallest_eigvec3
 
 _EPS = 1e-8
 
@@ -98,8 +98,7 @@ def estimate_normals(points: jax.Array, neighbor_idx: jax.Array,
     mean = jnp.sum(nbrs * w, -2, keepdims=True) / cnt[..., None, :]
     centered = (nbrs - mean) * w
     cov = jnp.einsum("...ki,...kj->...ij", centered, centered) / cnt[..., :1, None]
-    _, V = eigh3(cov)
-    normals = V[..., :, 0]                            # smallest-eigval column
+    normals = smallest_eigvec3(cov)        # only the plane normal is needed
     if orient_to is None:
         centroid = jnp.mean(points, -2, keepdims=True)
         outward = points - centroid
