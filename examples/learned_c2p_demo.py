@@ -4,7 +4,8 @@ The analogue of the reference's inference harnesses (dip/demo.py +
 c2p-net/testScript.py): load pretrained weights, register unseen pairs, and
 print the metric table. Runs on one TPU chip (or CPU, slowly).
 
-    PYTHONPATH=. python examples/learned_c2p_demo.py
+    PYTHONPATH="/root/repo:$PYTHONPATH" python examples/learned_c2p_demo.py
+    (append, don't replace: the TPU platform plugin also rides PYTHONPATH)
 """
 
 import jax

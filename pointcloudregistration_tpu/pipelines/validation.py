@@ -50,11 +50,17 @@ def validate(key: jax.Array, n_pairs: int = 8, n_points: int = 3000,
              cfg: c2p.C2PConfig = c2p.C2PConfig(),
              register_fn: Callable | None = None,
              deform_amp: float = 0.05,
-             out_path: str | None = None) -> dict:
+             out_path: str | None = None,
+             export_dir: str | None = None) -> dict:
     """Run the registration pipeline over generated pairs and score it.
 
     register_fn(key, source, target, source_mask, target_mask) -> out dict;
     defaults to the classical c2p.register_pair with `cfg`.
+
+    export_dir: when set, per-pair geometry artifacts are written there —
+    warped/source/target clouds as PLY plus the NDP per-level loss history
+    (the reference exports STL meshes, predicted correspondences and NDP
+    history, validationScript.py:264-333).
     """
     if register_fn is None:
         def register_fn(k, s, t, sm, tm):
@@ -88,6 +94,25 @@ def validate(key: jax.Array, n_pairs: int = 8, n_points: int = 3000,
             "overlap": overlap,
             "wall_time_s": wall,
         })
+        if export_dir is not None:
+            import os
+
+            from pointcloudregistration_tpu.data import loaders
+            os.makedirs(export_dir, exist_ok=True)
+            for name, pts in (("warped", warped),
+                              ("source", pair["source"]),
+                              ("target", pair["target"])):
+                loaders.write_ply_points(
+                    os.path.join(export_dir, f"pair{i:03d}_{name}.ply"),
+                    np.asarray(pts))
+            extra = {}
+            if "ndp_losses" in out:
+                extra["ndp_losses"] = np.asarray(out["ndp_losses"])
+            if "inliers" in out:
+                extra["inliers"] = np.asarray(out["inliers"])
+            np.savez_compressed(
+                os.path.join(export_dir, f"pair{i:03d}_history.npz"),
+                R=np.asarray(out["R"]), t=np.asarray(out["t"]), **extra)
     agg = {k: float(np.mean([r[k] for r in rows])) for r in rows[:1]
            for k in rows[0]}
     result = {"per_pair": rows, "mean": agg}

@@ -58,3 +58,23 @@ def test_global_mesh_blocks():
     m = distributed.global_mesh(n_blocks=4)
     assert m.shape["blocks"] == 4
     assert m.shape["pairs"] * 4 == len(jax.devices())
+
+
+def test_validation_export_dir(tmp_path):
+    import os
+    import numpy as np
+    import jax
+    from pointcloudregistration_tpu.pipelines import c2p, validation
+    cfg = c2p.C2PConfig(ransac_hypotheses=512, icp_iters=5,
+                        ndp=c2p.C2PConfig().ndp._replace(m=2, iters=3,
+                                                         width=16))
+    d = str(tmp_path / "exports")
+    validation.validate(jax.random.PRNGKey(0), n_pairs=1, n_points=256,
+                        cfg=cfg, export_dir=d)
+    files = sorted(os.listdir(d))
+    assert "pair000_warped.ply" in files and "pair000_history.npz" in files
+    from pointcloudregistration_tpu.data import loaders
+    pts = loaders.read_ply_points(os.path.join(d, "pair000_warped.ply"))
+    assert pts.shape == (256, 3)
+    with np.load(os.path.join(d, "pair000_history.npz")) as z:
+        assert z["R"].shape == (3, 3) and "ndp_losses" in z
