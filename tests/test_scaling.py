@@ -1,0 +1,63 @@
+"""Scaling guarantees for the data-parallel registration path.
+
+The north-star scaling claim (>=0.9 linear to multiple hosts) rests on a
+structural property: the pair axis has NO cross-pair communication. These
+tests verify it on the compiled program, not by timing — the HLO of the
+pairs-sharded pipeline must contain no collective ops at all, so weak
+scaling is bounded only by the data feed.
+"""
+import jax
+import jax.numpy as jnp
+
+from pointcloudregistration_tpu.data import synthetic
+from pointcloudregistration_tpu.parallel import mesh as mesh_mod
+from pointcloudregistration_tpu.parallel.mesh import pair_sharding, replicated
+from pointcloudregistration_tpu.pipelines import c2p
+
+_COLLECTIVES = ("all-reduce", "all-gather", "all-to-all",
+                "collective-permute", "reduce-scatter")
+
+
+def test_pairs_sharded_c2p_has_no_collectives():
+    mesh = mesh_mod.make_mesh(n_pairs=8, n_blocks=1)
+    cfg = c2p.C2PConfig(
+        ransac_hypotheses=512, icp_iters=4,
+        ndp=c2p.C2PConfig().ndp._replace(m=2, iters=2, width=16))
+    key = jax.random.PRNGKey(0)
+    data = synthetic.make_batch(key, 8, n_points=256, deform_amp=0.0)
+    psh, rep = pair_sharding(mesh), replicated(mesh)
+    fn = jax.jit(
+        lambda k, s, t, sm, tm: c2p.register_batch(k, s, t, sm, tm, cfg),
+        in_shardings=(rep, psh, psh, psh, psh))
+    hlo = fn.lower(key, data["source"], data["target"],
+                   data["source_mask"], data["target_mask"]) \
+        .compile().as_text().lower()
+    found = [c for c in _COLLECTIVES if c in hlo]
+    assert not found, f"cross-pair collectives in DP program: {found}"
+
+
+def test_blocked_icp_uses_only_ici_collectives():
+    """The point-block SP path must use permute/reduce collectives (the ring
+    + psum design) — sanity that the test above isn't vacuous."""
+    from pointcloudregistration_tpu.parallel import pipeline
+    import numpy as np
+    mesh = mesh_mod.make_mesh(n_pairs=1, n_blocks=8)
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.normal(size=(512, 3)), jnp.float32)
+    tgt = src + 0.01
+
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    body = partial(pipeline._icp_blocked, max_dist=0.3, iters=2,
+                   max_dist_final=0.1)
+    fn = jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P(mesh_mod.BLOCKS_AXIS, None),
+                  P(mesh_mod.BLOCKS_AXIS, None),
+                  P(mesh_mod.BLOCKS_AXIS), P(mesh_mod.BLOCKS_AXIS)),
+        out_specs=(P(), P(), P())))
+    hlo = fn.lower(src, tgt, jnp.ones(512, bool), jnp.ones(512, bool)) \
+        .compile().as_text().lower()
+    assert "collective-permute" in hlo          # the ring pass
+    assert "all-reduce" in hlo                  # the psum'd Kabsch moments
