@@ -22,7 +22,8 @@ from pointcloudregistration_tpu.ops import knn as _knn
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses", "sample_size",
-                                   "hypo_block"))
+                                   "hypo_block", "prescore_cap",
+                                   "rescore_top"))
 def ransac_correspondences(key: jax.Array,
                            src_corr: jax.Array, tgt_corr: jax.Array,
                            threshold: float,
@@ -30,7 +31,9 @@ def ransac_correspondences(key: jax.Array,
                            sample_size: int = 3,
                            corr_mask: jax.Array | None = None,
                            edge_length_ratio: float = 0.9,
-                           hypo_block: int = 4096):
+                           hypo_block: int = 8192,
+                           prescore_cap: int = 256,
+                           rescore_top: int = 64):
     """RANSAC over putative correspondences (src_corr[i] <-> tgt_corr[i]).
 
     Returns (R, t, info) with info = {inliers (N,) bool, fitness, rmse}.
@@ -38,59 +41,162 @@ def ransac_correspondences(key: jax.Array,
     edge length by more than `edge_length_ratio` are discarded
     (RANSAC.py:46-49).
 
-    Hypotheses are scored in `hypo_block`-sized blocks under a lax.scan with
-    a running best carry, so peak memory is (hypo_block, N) regardless of
-    num_hypotheses — large pair batches still compile.
+    Scoring is preemptive two-stage (Nistér-style): every hypothesis is
+    scored against a random `prescore_cap`-correspondence subset (one (H, S)
+    pass), then only the `rescore_top` best re-score on all N
+    correspondences. The inlier *ratio* estimate from S=256 samples has
+    σ≈3%, far tighter than the gap between the best hypothesis and the
+    field, so the full-score winner survives the cut with overwhelming
+    probability — at ~N/prescore_cap× less scoring arithmetic than scoring
+    every hypothesis on every correspondence (the cost that dominates
+    Open3D's 100k-iteration loop, DataPreparation/RANSAC.py:35-53).
+
+    Hypotheses are pre-scored in `hypo_block`-sized blocks under a lax.scan
+    with a running top-k carry, so peak memory is (hypo_block, S) regardless
+    of num_hypotheses — large pair batches still compile.
     """
     N = src_corr.shape[0]
     if corr_mask is None:
         corr_mask = jnp.ones((N,), bool)
     hb = min(hypo_block, num_hypotheses)
     nblocks = -(-num_hypotheses // hb)
-    # sample hypothesis index sets (with replacement across hypotheses);
-    # bias sampling toward valid correspondences via gumbel trick on mask
+    S = min(prescore_cap, N)
+    K = min(rescore_top, hb)
+    # sample hypothesis index sets (with replacement across hypotheses),
+    # uniformly over the VALID correspondences: compact valid indices to the
+    # front (one stable argsort over N), then draw uniform offsets into the
+    # first V slots. Exact-uniform and O(H) — a categorical over N-way
+    # logits would materialize an (H, N) gumbel tensor, which at H=32k,
+    # N=3k dominated the whole RANSAC wall time.
     ks, kc = jax.random.split(key)
-    logits = jnp.where(corr_mask, 0.0, -1e9)
-    picks = jax.random.categorical(
-        ks, logits, shape=(nblocks * hb, sample_size))    # (H, S)
-    off = ~jnp.eye(sample_size, dtype=bool)
+    order = jnp.argsort(~corr_mask, stable=True)          # valid first
+    V = jnp.maximum(jnp.sum(corr_mask), 1)
+    u = jax.random.uniform(ks, (nblocks * hb, sample_size))
+    picks = order[jnp.minimum((u * V).astype(jnp.int32), V - 1)]   # (H, S)
+    # pre-scoring subset: uniform over valid correspondences too
+    us = jax.random.uniform(kc, (S,))
+    sub = order[jnp.minimum((us * V).astype(jnp.int32), V - 1)]
+    src_sub = src_corr[sub]                               # (S, 3)
+    tgt_sub = tgt_corr[sub]
+    sub_mask = corr_mask[sub]
 
-    def score_block(carry, j):
-        best_score, best_R, best_t = carry
-        pk = jax.lax.dynamic_slice_in_dim(picks, j * hb, hb, axis=0)
+    # ---- lane-major hypothesis math -------------------------------------
+    # Every per-hypothesis quantity lives in arrays shaped (..., hb): the
+    # hypothesis axis sits on the TPU's 128-lane vector dimension. The naive
+    # (hb, 3, 3) layout pads each 3-vector to 128 lanes (≈2% utilization);
+    # lane-major runs the same ~60 scalar formulas as full-width VPU ops.
+
+    def _frame_lanes(p):
+        """p: (3 points, 3 comps, hb) -> orthonormal basis (3, 3, hb), ok."""
+        e1 = p[1] - p[0]                                  # (3, hb)
+        e2 = p[2] - p[0]
+        n1 = jnp.sqrt(e1[0]**2 + e1[1]**2 + e1[2]**2)
+        a1 = e1 / (n1 + 1e-12)
+        proj = e2[0]*a1[0] + e2[1]*a1[1] + e2[2]*a1[2]
+        e2p = e2 - proj * a1
+        n2 = jnp.sqrt(e2p[0]**2 + e2p[1]**2 + e2p[2]**2)
+        a2 = e2p / (n2 + 1e-12)
+        a3 = jnp.stack([a1[1]*a2[2] - a1[2]*a2[1],
+                        a1[2]*a2[0] - a1[0]*a2[2],
+                        a1[0]*a2[1] - a1[1]*a2[0]])
+        ok = (n1 > 1e-8) & (n2 > 1e-8)
+        return jnp.stack([a1, a2, a3]), ok                # rows = basis
+
+    def fit_block(pk):
+        """Fit one block of 3-point hypotheses, lane-major.
+
+        pk (hb, 3) -> R (3, 3, hb), t (3, hb), valid (hb,).
+        Triad frames (exact for exact triplets, ~60 VPU ops over full
+        128-lane vectors) instead of tiny SVDs.
+        """
+        s = src_corr[pk].transpose(1, 2, 0)               # (3 pts, 3, hb)
+        t_ = tgt_corr[pk].transpose(1, 2, 0)
+        # edge-length checker (both directions), Open3D semantics
+        valid_h = jnp.ones(pk.shape[0], bool)
+        for i, j2 in ((0, 1), (0, 2), (1, 2)):
+            es = s[i] - s[j2]
+            et = t_[i] - t_[j2]
+            ds = jnp.sqrt(es[0]**2 + es[1]**2 + es[2]**2)
+            dt = jnp.sqrt(et[0]**2 + et[1]**2 + et[2]**2)
+            valid_h &= (ds > edge_length_ratio * dt) \
+                & (dt > edge_length_ratio * ds)
+            # reject duplicate correspondence picks
+            valid_h &= pk[:, i] != pk[:, j2]
+        Af, ok_a = _frame_lanes(s)                        # rows = basis of src
+        Bf, ok_b = _frame_lanes(t_)
+        # R = B^T A (basis rows) maps src onto tgt: R[i][j] = sum_k B[k][i]A[k][j]
+        R = jnp.stack([jnp.stack([
+            Bf[0, i]*Af[0, j2] + Bf[1, i]*Af[1, j2] + Bf[2, i]*Af[2, j2]
+            for j2 in range(3)]) for i in range(3)])      # (3, 3, hb)
+        sc = (s[0] + s[1] + s[2]) / 3.0                   # (3, hb)
+        tc = (t_[0] + t_[1] + t_[2]) / 3.0
+        t_fit = tc - jnp.stack([
+            R[i, 0]*sc[0] + R[i, 1]*sc[1] + R[i, 2]*sc[2]
+            for i in range(3)])
+        return R, t_fit, valid_h & ok_a & ok_b
+
+    def fit_block_generic(pk):
+        """sample_size != 3 fallback: batched Kabsch, then lane-major."""
         s = src_corr[pk]                                  # (hb, S, 3)
         t_ = tgt_corr[pk]
-        # edge-length checker (both directions), Open3D semantics
-        ds = jnp.linalg.norm(s[:, :, None] - s[:, None, :], axis=-1)
-        dt = jnp.linalg.norm(t_[:, :, None] - t_[:, None, :], axis=-1)
-        ok_edge = ((ds > edge_length_ratio * dt)
-                   & (dt > edge_length_ratio * ds) | ~off)
-        valid_h = jnp.all(ok_edge, axis=(-2, -1))
-        # also reject hypotheses that picked duplicate correspondences
-        dup = jnp.any((pk[:, :, None] == pk[:, None, :]) & off, (-2, -1))
-        valid_h = valid_h & ~dup
-        # fit: triad frames (exact for exact triplets, ~20 ops) instead of
-        # tiny SVDs; degenerate triangles are invalidated
-        if sample_size == 3:
-            R_h, t_h, ok_fit = procrustes.triad_fit(s, t_)
-            valid_h = valid_h & ok_fit
-        else:
-            R_h, t_h = procrustes.kabsch(s, t_)
-        # score: inlier count over all correspondences
-        src_t = se3.transform(src_corr[None], R_h, t_h)   # (hb, N, 3)
-        d2 = jnp.sum((src_t - tgt_corr[None]) ** 2, -1)
-        inl = (d2 < threshold * threshold) & corr_mask[None]
-        score = jnp.where(valid_h, jnp.sum(inl, -1), -1)
-        bi = jnp.argmax(score)
-        better = score[bi] > best_score
-        return (jnp.where(better, score[bi], best_score),
-                jnp.where(better, R_h[bi], best_R),
-                jnp.where(better, t_h[bi], best_t)), None
+        valid_h = jnp.ones(pk.shape[0], bool)
+        for i in range(sample_size):
+            for j2 in range(i + 1, sample_size):
+                ds = jnp.linalg.norm(s[:, i] - s[:, j2], axis=-1)
+                dt = jnp.linalg.norm(t_[:, i] - t_[:, j2], axis=-1)
+                valid_h &= (ds > edge_length_ratio * dt) \
+                    & (dt > edge_length_ratio * ds) & (pk[:, i] != pk[:, j2])
+        R_h, t_h = procrustes.kabsch(s, t_)
+        return R_h.transpose(1, 2, 0), t_h.T, valid_h
 
-    init = (jnp.asarray(-1, jnp.int32), jnp.eye(3, dtype=src_corr.dtype),
-            jnp.zeros(3, src_corr.dtype))
-    (best_score, R_b, t_b), _ = jax.lax.scan(
-        score_block, init, jnp.arange(nblocks))
+    if sample_size != 3:
+        fit_block = fit_block_generic
+
+    def prescore_block(carry, j):
+        top_score, top_R, top_t, top_valid = carry        # (K,), (9,K), (3,K)
+        pk = jax.lax.dynamic_slice_in_dim(picks, j * hb, hb, axis=0)
+        R, t_fit, valid_h = fit_block(pk)
+        # subset score: inlier count over S sampled correspondences
+        ps = src_sub.T                                    # (3, S)
+        pt = tgt_sub.T
+        d2 = jnp.zeros((pk.shape[0], S), src_corr.dtype)
+        for i in range(3):
+            xi = (R[i, 0][:, None] * ps[0][None]
+                  + R[i, 1][:, None] * ps[1][None]
+                  + R[i, 2][:, None] * ps[2][None] + t_fit[i][:, None])
+            d2 = d2 + (xi - pt[i][None]) ** 2             # (hb, S)
+        inl = (d2 < threshold * threshold) & sub_mask[None]
+        score = jnp.where(valid_h, jnp.sum(inl, -1), -1)
+        # merge block into the running top-K
+        all_s = jnp.concatenate([top_score, score])
+        _, ti = jax.lax.top_k(all_s, K)
+        all_R = jnp.concatenate([top_R, R.reshape(9, -1)], axis=-1)
+        all_t = jnp.concatenate([top_t, t_fit], axis=-1)
+        all_v = jnp.concatenate([top_valid, valid_h])
+        return (all_s[ti], all_R[:, ti], all_t[:, ti], all_v[ti]), None
+
+    init = (jnp.full((K,), -1, jnp.int32),
+            jnp.broadcast_to(jnp.eye(3, dtype=src_corr.dtype).reshape(9, 1),
+                             (9, K)),
+            jnp.zeros((3, K), src_corr.dtype),
+            jnp.zeros((K,), bool))
+    (_, R9_k, t3_k, v_k), _ = jax.lax.scan(prescore_block, init,
+                                           jnp.arange(nblocks))
+    # full re-score of the surviving K hypotheses on all N correspondences
+    Rk = R9_k.reshape(3, 3, K)
+    ps = src_corr.T                                       # (3, N)
+    pt = tgt_corr.T
+    d2 = jnp.zeros((K, N), src_corr.dtype)
+    for i in range(3):
+        xi = (Rk[i, 0][:, None] * ps[0][None] + Rk[i, 1][:, None] * ps[1][None]
+              + Rk[i, 2][:, None] * ps[2][None] + t3_k[i][:, None])
+        d2 = d2 + (xi - pt[i][None]) ** 2                 # (K, N)
+    inl = (d2 < threshold * threshold) & corr_mask[None]
+    full_score = jnp.where(v_k, jnp.sum(inl, -1), -1)
+    bi = jnp.argmax(full_score)
+    best_score = full_score[bi]
+    R_b = R9_k[:, bi].reshape(3, 3)
+    t_b = t3_k[:, bi]
     # refine on the best hypothesis's inliers with full weighted Kabsch
     d_b = jnp.linalg.norm(se3.transform(src_corr, R_b, t_b) - tgt_corr,
                           axis=-1)
