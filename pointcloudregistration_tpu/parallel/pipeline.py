@@ -29,6 +29,35 @@ from pointcloudregistration_tpu.parallel.mesh import (BLOCKS_AXIS,
                                                       replicated)
 
 
+def make_register_batch_sharded(mesh: Mesh, cfg=None):
+    """Build the jitted DP registration step: pairs sharded over `pairs`.
+
+    The step is a `shard_map` over the pair axis, so cross-pair
+    communication is impossible *by construction* — each device runs the
+    full single-chip pipeline on its local pair shard (XLA's automatic
+    partitioner is not trusted here: its top_k/sort handling inserts
+    gratuitous all-gathers into the vmapped RANSAC scan). Takes
+    (keys (B,2) u32, source, target, source_mask, target_mask).
+    """
+    from pointcloudregistration_tpu.pipelines import c2p
+    if cfg is None:
+        cfg = c2p.C2PConfig()
+
+    def body(keys, s, t, sm, tm):
+        return jax.vmap(
+            lambda k, s1, t1, sm1, tm1: c2p.register_pair(
+                jax.random.wrap_key_data(k), s1, t1, sm1, tm1, cfg))(
+            keys, s, t, sm, tm)
+
+    # check_vma off: the single-chip pipeline's scan carries are initialized
+    # from constants (unvarying), which the varying-manual-axes checker
+    # rejects under shard_map even though the program is correct per-shard.
+    return jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P(PAIRS_AXIS),) * 5,
+        out_specs=P(PAIRS_AXIS), check_vma=False))
+
+
 def register_batch_sharded(mesh: Mesh, key: jax.Array,
                            source: jax.Array, target: jax.Array,
                            source_mask=None, target_mask=None, cfg=None):
@@ -36,24 +65,23 @@ def register_batch_sharded(mesh: Mesh, key: jax.Array,
 
     Same contract as pipelines.c2p.register_batch; the batch dimension must
     be divisible by the mesh's pairs axis. Weak scaling is near-linear: no
-    cross-pair communication exists anywhere in the pipeline.
+    cross-pair communication exists anywhere in the pipeline (asserted on
+    the compiled HLO in tests/test_scaling.py).
     """
-    from pointcloudregistration_tpu.pipelines import c2p
-    if cfg is None:
-        cfg = c2p.C2PConfig()
     if source_mask is None:
         source_mask = jnp.ones(source.shape[:-1], bool)
     if target_mask is None:
         target_mask = jnp.ones(target.shape[:-1], bool)
+    B = source.shape[0]
+    # per-pair keys are split on the host and sharded with the pairs — a
+    # replicated key split inside the shard would repeat across devices
+    keys = jax.random.split(key, B)
+    if jnp.issubdtype(keys.dtype, jax.dtypes.prng_key):
+        keys = jax.random.key_data(keys)        # raw (B, 2) u32 shards
     psh = pair_sharding(mesh)
-    rep = replicated(mesh)
-    args = jax.device_put((source, target, source_mask, target_mask),
-                          (psh,) * 4)
-    key = jax.device_put(key, rep)
-    fn = jax.jit(lambda k, s, t, sm, tm: c2p.register_batch(k, s, t, sm, tm,
-                                                            cfg),
-                 in_shardings=(rep, psh, psh, psh, psh))
-    return fn(key, *args)
+    args = jax.device_put((keys, source, target, source_mask, target_mask),
+                          (psh,) * 5)
+    return make_register_batch_sharded(mesh, cfg)(*args)
 
 
 def _icp_blocked(src_block, tgt_block, src_maskb, tgt_maskb,

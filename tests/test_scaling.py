@@ -19,21 +19,42 @@ _COLLECTIVES = ("all-reduce", "all-gather", "all-to-all",
 
 
 def test_pairs_sharded_c2p_has_no_collectives():
+    from pointcloudregistration_tpu.parallel import pipeline
     mesh = mesh_mod.make_mesh(n_pairs=8, n_blocks=1)
     cfg = c2p.C2PConfig(
         ransac_hypotheses=512, icp_iters=4,
         ndp=c2p.C2PConfig().ndp._replace(m=2, iters=2, width=16))
     key = jax.random.PRNGKey(0)
     data = synthetic.make_batch(key, 8, n_points=256, deform_amp=0.0)
-    psh, rep = pair_sharding(mesh), replicated(mesh)
-    fn = jax.jit(
-        lambda k, s, t, sm, tm: c2p.register_batch(k, s, t, sm, tm, cfg),
-        in_shardings=(rep, psh, psh, psh, psh))
-    hlo = fn.lower(key, data["source"], data["target"],
+    keys = jax.random.split(key, 8)
+    if jnp.issubdtype(keys.dtype, jax.dtypes.prng_key):
+        keys = jax.random.key_data(keys)
+    fn = pipeline.make_register_batch_sharded(mesh, cfg)
+    hlo = fn.lower(keys, data["source"], data["target"],
                    data["source_mask"], data["target_mask"]) \
         .compile().as_text().lower()
     found = [c for c in _COLLECTIVES if c in hlo]
     assert not found, f"cross-pair collectives in DP program: {found}"
+
+
+def test_pairs_sharded_matches_single_device():
+    """The sharded DP driver computes the same poses as plain vmap."""
+    from pointcloudregistration_tpu.parallel import pipeline
+    import numpy as np
+    mesh = mesh_mod.make_mesh(n_pairs=8, n_blocks=1)
+    cfg = c2p.C2PConfig(
+        ransac_hypotheses=512, icp_iters=4, run_ndp=False)
+    key = jax.random.PRNGKey(7)
+    data = synthetic.make_batch(key, 8, n_points=256, deform_amp=0.0)
+    out = pipeline.register_batch_sharded(
+        mesh, key, data["source"], data["target"],
+        data["source_mask"], data["target_mask"], cfg)
+    ref = c2p.register_batch(key, data["source"], data["target"],
+                             data["source_mask"], data["target_mask"], cfg)
+    np.testing.assert_allclose(np.asarray(out["R"]), np.asarray(ref["R"]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["t"]), np.asarray(ref["t"]),
+                               atol=1e-5)
 
 
 def test_blocked_icp_uses_only_ici_collectives():
