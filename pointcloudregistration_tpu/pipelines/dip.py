@@ -190,16 +190,44 @@ def train_step(state: DIPTrainState, key: jax.Array, batch, cfg: DIPConfig):
                    "mean_pos_dist": jnp.mean(aux["pos_dists"])}
 
 
-def train(key: jax.Array, cfg: DIPConfig = DIPConfig(), steps: int = 200):
-    """Compact training driver (the reference trains 200 epochs,
-    dip/train.py:66-130). Returns (state, history)."""
+def train(key: jax.Array, cfg: DIPConfig = DIPConfig(), steps: int = 200,
+          data=None, ckpt_dir: str | None = None,
+          log_dir: str | None = None, resume: bool = False,
+          save_every: int = 100):
+    """Training driver (the reference trains 200 epochs,
+    dip/train.py:66-130, checkpointing best/final and logging TensorBoard).
+
+    data: optional sequence of precomputed patch stores — items shaped like
+    `preprocess_pair` outputs (e.g. rows of `preprocess_dataset`); when None
+    the on-device synthetic patch factory streams batches. Checkpoints,
+    metric logs and resume ride `train.loop.TrainHooks`.
+
+    Returns (state, history).
+    """
+    from pointcloudregistration_tpu.train.loop import TrainHooks
     state = create_train_state(jax.random.fold_in(key, 0), cfg)
+    hooks = TrainHooks(ckpt_dir, log_dir, "dip", save_every)
+    if resume:
+        state, start = hooks.restore(state)
+    else:
+        start = 0
     hist = []
-    for step in range(steps):
+    for step in range(start, steps):
         kd, kt = jax.random.split(jax.random.fold_in(key, step + 1))
-        batch = make_patch_pair_batch(kd, cfg)
+        if data is None:
+            batch = make_patch_pair_batch(kd, cfg)
+        else:
+            row = data[step % len(data)]
+            batch = {"patches1": jnp.asarray(row["patches1"]),
+                     "patches2": jnp.asarray(row["patches2"]),
+                     "valid1": jnp.asarray(row["valid1"]),
+                     "valid2": jnp.asarray(row["valid2"])}
         state, m = train_step(state, kt, batch, cfg)
-        hist.append({k: float(v) for k, v in m.items()})
+        m = {k: float(v) for k, v in m.items()}
+        hist.append(m)
+        hooks.log(step, m)
+        hooks.step_end(step, state, m, steps)
+    hooks.close()
     return state, hist
 
 

@@ -8,7 +8,7 @@ from the on-device synthetic factory + ops/pyramid.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Any, NamedTuple
 
 import jax
@@ -61,13 +61,47 @@ def make_sample(key: jax.Array, cfg: NgeNetTrainConfig):
     pair = synthetic.make_pair(key, n_points=cfg.n_points,
                                max_angle_deg=cfg.max_angle_deg,
                                max_trans=cfg.max_trans)
-    pyr_s, n_s = _pyramid_with_normals(pair["source"], pair["source_mask"],
-                                       cfg.pyramid)
-    pyr_t, n_t = _pyramid_with_normals(pair["target"], pair["target_mask"],
-                                       cfg.pyramid)
+    return make_sample_arrays(pair["source"], pair["source_mask"],
+                              pair["target"], pair["target_mask"],
+                              pair["R_gt"], pair["t_gt"], cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def make_sample_arrays(source, source_mask, target, target_mask,
+                       R_gt, t_gt, cfg: NgeNetTrainConfig):
+    """Pyramids + normals for an explicit pair — the on-device collate for
+    real data (replaces the CPU C++ collate, dataloader.py:69-182)."""
+    pyr_s, n_s = _pyramid_with_normals(source, source_mask, cfg.pyramid)
+    pyr_t, n_t = _pyramid_with_normals(target, target_mask, cfg.pyramid)
     return {"pyr_src": pyr_s, "pyr_tgt": pyr_t,
             "normals_src": n_s, "normals_tgt": n_t,
-            "R_gt": pair["R_gt"], "t_gt": pair["t_gt"]}
+            "R_gt": R_gt, "t_gt": t_gt}
+
+
+def _pad_cloud(pts, n: int):
+    """Host-side fixed-shape pad: (m, 3) -> ((n, 3), (n,) mask)."""
+    import numpy as np
+    pts = np.asarray(pts, np.float32)[:n]
+    m = len(pts)
+    out = np.zeros((n, 3), np.float32)
+    out[:m] = pts
+    mask = np.zeros(n, bool)
+    mask[:m] = True
+    return out, mask
+
+
+def sample_from_item(item: dict, cfg: NgeNetTrainConfig):
+    """One NgeNetPairs row (data/mri.py) -> the trainer's sample pytree.
+
+    The stored transformation is the GT the loss supervises against
+    (c2p-net/ngenet/data/MRI.py:70-77: transf carries src into tgt).
+    """
+    src, sm = _pad_cloud(item["src_points"], cfg.n_points)
+    tgt, tm = _pad_cloud(item["tgt_points"], cfg.n_points)
+    T = jnp.asarray(item["transf"], jnp.float32)
+    return make_sample_arrays(jnp.asarray(src), jnp.asarray(sm),
+                              jnp.asarray(tgt), jnp.asarray(tm),
+                              T[:3, :3], T[:3, 3], cfg)
 
 
 def create_train_state(key: jax.Array, cfg: NgeNetTrainConfig,
@@ -87,9 +121,8 @@ def create_train_state(key: jax.Array, cfg: NgeNetTrainConfig,
         batch_stats=variables.get("batch_stats"))
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def train_step(state: NgeNetTrainState, key: jax.Array, sample,
-               w_saliency: jax.Array, cfg: NgeNetTrainConfig):
+def _loss_and_grads(state: NgeNetTrainState, key: jax.Array, sample,
+                    w_saliency: jax.Array, cfg: NgeNetTrainConfig):
     def loss_fn(params):
         (out_s, out_t), updates = state.apply_fn(
             {"params": params, "batch_stats": state.batch_stats},
@@ -104,27 +137,139 @@ def train_step(state: NgeNetTrainState, key: jax.Array, sample,
             w_saliency=w_saliency, cfg=cfg.loss)
         return total, (updates["batch_stats"], parts)
 
-    (loss, (bs, parts)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(state.params)
+    return jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def train_step(state: NgeNetTrainState, key: jax.Array, sample,
+               w_saliency: jax.Array, cfg: NgeNetTrainConfig):
+    (loss, (bs, parts)), grads = _loss_and_grads(state, key, sample,
+                                                 w_saliency, cfg)
     state = state.apply_gradients(grads=grads).replace(batch_stats=bs)
     return state, {"loss": loss, **parts}
 
 
+def stack_samples(samples):
+    """Stack per-pair sample pytrees into a leading batch axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *samples)
+
+
+@lru_cache(maxsize=8)
+def make_dp_train_step(mesh, cfg: NgeNetTrainConfig):
+    """Data-parallel train step: the sample batch sharded over the `pairs`
+    mesh axis, gradients (and batch stats) pmean-reduced over ICI.
+
+    New design mandated by the north star (SURVEY.md §2.8) — the reference
+    trains on a single GPU. Each device computes grads on its local sample
+    shard; one psum of the gradient pytree makes the update identical on
+    every device, so per-step loss matches a single-device step at the same
+    global batch (asserted in tests/test_scaling.py).
+
+    Takes (state, keys (B, key_size) u32, samples stacked (B, ...),
+    w_saliency); returns (state, metrics) replicated.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from pointcloudregistration_tpu.parallel.mesh import PAIRS_AXIS
+
+    def body(state, keys, samples, w_saliency):
+        def one(k, sample):
+            (loss, (bs, parts)), grads = _loss_and_grads(
+                state, jax.random.wrap_key_data(k), sample, w_saliency, cfg)
+            return loss, bs, parts, grads
+
+        loss, bs, parts, grads = jax.vmap(one)(keys, samples)
+
+        def gmean(x):
+            return jax.lax.pmean(jnp.mean(x, 0), PAIRS_AXIS)
+
+        grads = jax.tree.map(gmean, grads)
+        bs = jax.tree.map(gmean, bs)
+        parts = jax.tree.map(gmean, parts)
+        loss = gmean(loss)
+        state = state.apply_gradients(grads=grads).replace(batch_stats=bs)
+        return state, {"loss": loss, **parts}
+
+    return jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(PAIRS_AXIS), P(PAIRS_AXIS), P()),
+        out_specs=(P(), P()), check_vma=False))
+
+
+def dp_train_step(mesh, state: NgeNetTrainState, key: jax.Array, samples,
+                  w_saliency, cfg: NgeNetTrainConfig):
+    """Convenience wrapper: split per-sample keys, shard, run the DP step.
+
+    samples: list of sample pytrees (see make_sample/sample_from_item) or an
+    already-stacked pytree with leading batch axis divisible by the mesh's
+    pairs axis.
+    """
+    if isinstance(samples, (list, tuple)):
+        samples = stack_samples(samples)
+    B = samples["R_gt"].shape[0]
+    keys = jax.random.split(key, B)
+    if jnp.issubdtype(keys.dtype, jax.dtypes.prng_key):
+        keys = jax.random.key_data(keys)
+    return make_dp_train_step(mesh, cfg)(state, keys, samples,
+                                         jnp.asarray(w_saliency))
+
+
 def train(key: jax.Array, cfg: NgeNetTrainConfig = NgeNetTrainConfig(),
-          steps: int = 100, log_every: int = 10):
+          steps: int = 100, log_every: int = 10, data=None,
+          ckpt_dir: str | None = None, log_dir: str | None = None,
+          resume: bool = False, save_every: int = 100,
+          calibrate: bool = False):
     """Driver with the reference's saliency schedule: w_saliency flips to 1
-    once recall passes the gate (trainNgeNet.py:217-219)."""
+    once recall passes the gate (trainNgeNet.py:217-219).
+
+    data: path to a RANSACData pickle (streams data.mri.NgeNetPairs) or any
+    indexable of NgeNetPairs-shaped rows; None streams synthetic pairs.
+    Checkpoints/logs/resume via train.loop.TrainHooks; the recall sync to
+    host happens only at log points (an every-step float() readback would
+    serialize the device queue).
+    """
+    from pointcloudregistration_tpu.train.loop import TrainHooks
+    if isinstance(data, str):
+        from pointcloudregistration_tpu.data.mri import NgeNetPairs
+        data = NgeNetPairs(data, "train", max_points=cfg.n_points)
+    if calibrate and data is not None:
+        # one-shot neighbor-cap calibration over a dataset sample
+        # (dataloader.py:185-205)
+        from pointcloudregistration_tpu.ops.pyramid import (
+            calibrate_neighbor_caps)
+        clouds = []
+        for i in range(min(8, len(data))):
+            it = data[i]
+            for k in ("src_points", "tgt_points"):
+                pts, m = _pad_cloud(it[k], cfg.n_points)
+                clouds.append((pts, m))
+        cfg = cfg._replace(pyramid=calibrate_neighbor_caps(clouds,
+                                                           cfg.pyramid))
     state = create_train_state(jax.random.fold_in(key, 0), cfg,
                                make_sample(jax.random.fold_in(key, 1), cfg))
+    hooks = TrainHooks(ckpt_dir, log_dir, "ngenet", save_every)
+    if resume:
+        state, start = hooks.restore(state)
+    else:
+        start = 0
     w_sal, hist = 0.0, []
-    for step in range(steps):
+    for step in range(start, steps):
         kd, kl = jax.random.split(jax.random.fold_in(key, step + 2))
-        sample = make_sample(kd, cfg)
+        if data is None:
+            sample = make_sample(kd, cfg)
+        else:
+            sample = sample_from_item(data[step % len(data)], cfg)
         state, m = train_step(state, kl, sample, jnp.asarray(w_sal), cfg)
-        if float(m["recall"]) > cfg.saliency_recall_gate:
-            w_sal = 1.0
-        if step % log_every == 0:
-            hist.append({k: float(v) for k, v in m.items()})
+        if (step % log_every == 0 or step == steps - 1
+                or (step + 1) % save_every == 0):
+            mf = {k: float(v) for k, v in m.items()}
+            if mf["recall"] > cfg.saliency_recall_gate:
+                w_sal = 1.0
+            hist.append(mf)
+            hooks.log(step, mf)
+            hooks.step_end(step, state, mf, steps)
+    hooks.close()
     return state, hist
 
 

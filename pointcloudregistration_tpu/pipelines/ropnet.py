@@ -176,25 +176,89 @@ def vis_dump(state: TrainState, key: jax.Array, path: str,
     return len(src_l)
 
 
-def train(key: jax.Array, cfg: ROPNetTrainConfig = ROPNetTrainConfig(),
-          steps: int = 100, n_folds: int = 1, log_every: int = 20):
-    """Training driver. n_folds > 1 reproduces the reference's KFold outer
-    loop (train.py:208-310: fresh model/optimizer per fold); with streaming
-    synthetic data each fold simply uses a disjoint key range.
+def _kfold_indices(n: int, n_folds: int, fold: int):
+    """Contiguous K-fold split of range(n) — (train_idx, val_idx), the
+    sklearn.model_selection.KFold(shuffle=False) contract the reference's
+    outer loop uses (ROPNet/src/train.py:208-216)."""
+    sizes = [n // n_folds + (1 if i < n % n_folds else 0)
+             for i in range(n_folds)]
+    starts = np.cumsum([0] + sizes)
+    val = np.arange(starts[fold], starts[fold + 1])
+    train = np.concatenate([np.arange(0, starts[fold]),
+                            np.arange(starts[fold + 1], n)])
+    return train, val
 
-    Returns (states, history) — one state per fold.
+
+def _batch_from_items(items, cfg: ROPNetTrainConfig):
+    """Stack MRIPairs rows (normal=True -> 6 channels) into the train-step
+    batch pytree."""
+    src = jnp.stack([jnp.asarray(it["src"], jnp.float32) for it in items])
+    tgt = jnp.stack([jnp.asarray(it["tgt"], jnp.float32) for it in items])
+    return {"src": src, "tgt": tgt,
+            "R_gt": jnp.stack([jnp.asarray(it["R_gt"]) for it in items]),
+            "t_gt": jnp.stack([jnp.asarray(it["t_gt"]) for it in items]),
+            "target_mask": jnp.ones(tgt.shape[:-1], bool)}
+
+
+def train(key: jax.Array, cfg: ROPNetTrainConfig = ROPNetTrainConfig(),
+          steps: int = 100, n_folds: int = 1, log_every: int = 20,
+          data=None, ckpt_dir: str | None = None,
+          log_dir: str | None = None, resume: bool = False,
+          save_every: int = 100):
+    """Training driver with the reference's KFold outer loop
+    (train.py:208-310: fresh model/optimizer per fold, per-fold and global
+    best checkpoints under min-loss / min-rot-error criteria, --resume).
+
+    data: path to a RANSACData pickle (streams data.mri.MRIPairs with
+    normals, the real training contract, ROPNet/src/data/MRI.py:33) or an
+    indexable of MRIPairs-shaped rows; None streams synthetic pairs, where
+    each fold uses a disjoint key range. With a dataset, folds are true CV
+    splits and each fold ends with a val-fold eval entry in its history.
+
+    Returns (states, history) — one state and one history list per fold.
     """
+    from pointcloudregistration_tpu.train.loop import TrainHooks
+    if isinstance(data, str):
+        from pointcloudregistration_tpu.data.mri import MRIPairs
+        data = MRIPairs(data, "train", npts=cfg.n_points, normal=True,
+                        max_angle_deg=cfg.max_angle_deg,
+                        max_trans=cfg.max_trans)
+
     states, history = [], []
     for fold in range(n_folds):
         fkey = jax.random.fold_in(key, fold)
         state = create_train_state(jax.random.fold_in(fkey, 0), cfg)
+        hooks = TrainHooks(f"{ckpt_dir}/fold{fold}" if ckpt_dir else None,
+                           log_dir, f"ropnet_fold{fold}", save_every)
+        start = 0
+        if resume:
+            state, start = hooks.restore(state)
+        if data is not None:
+            tr_idx, val_idx = _kfold_indices(len(data), max(n_folds, 2),
+                                             fold % max(n_folds, 2))
         hist = []
-        for step in range(steps):
+        for step in range(start, steps):
             kd, kt = jax.random.split(jax.random.fold_in(fkey, step + 1))
-            batch = make_batch(kd, cfg)
+            if data is None:
+                batch = make_batch(kd, cfg)
+            else:
+                sel = [int(tr_idx[(step * cfg.batch + j) % len(tr_idx)])
+                       for j in range(cfg.batch)]
+                batch = _batch_from_items([data[i] for i in sel], cfg)
             state, m = train_step(state, kt, batch, cfg)
-            if step % log_every == 0:
-                hist.append({k: float(v) for k, v in m.items()})
+            if (step % log_every == 0 or step == steps - 1
+                    or (step + 1) % save_every == 0):
+                mf = {k: float(v) for k, v in m.items()}
+                hist.append(mf)
+                hooks.log(step, mf)
+                hooks.step_end(step, state, mf, steps)
+        if data is not None and len(val_idx):
+            batch = _batch_from_items(
+                [data[int(i)] for i in val_idx[:cfg.batch * 4]], cfg)
+            ev = eval_step(state, batch, cfg)
+            hist.append({"val_rre": float(jnp.mean(ev["rre"])),
+                         "val_rte": float(jnp.mean(ev["rte"]))})
+        hooks.close()
         states.append(state)
         history.append(hist)
     return states, history
