@@ -80,6 +80,27 @@ def read_obj_vertices(path: str) -> np.ndarray:
     return np.asarray(verts, np.float32)
 
 
+def read_obj_mesh(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """OBJ triangle mesh: (verts (V, 3) f32, faces (F, 3) i32, 0-based).
+
+    Handles the `f v/vt/vn` index style of the reference's phantom mesh
+    (DataPreparation/OriginalData/PCMRI_ww25_Cow_v4_final.obj); polygons
+    with more than 3 vertices are fan-triangulated.
+    """
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                verts.append([float(v) for v in line.split()[1:4]])
+            elif line.startswith("f "):
+                idx = [int(tok.split("/")[0]) for tok in line.split()[1:]]
+                idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return (np.asarray(verts, np.float32),
+            np.asarray(faces, np.int32))
+
+
 # ---------------------------------------------------------------------------
 # pickle contract (RANSACData)
 # ---------------------------------------------------------------------------

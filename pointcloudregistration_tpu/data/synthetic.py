@@ -91,7 +91,8 @@ def vessel_phantom(key: jax.Array, n_points: int, n_branches: int = 5,
 
 def modality_views(key: jax.Array, n_points: int,
                    tof_noise: float = 0.004, pc_noise: float = 0.010,
-                   pc_dropout: float = 0.35, deform_amp: float = 0.0):
+                   pc_dropout: float = 0.35, deform_amp: float = 0.0,
+                   base: jax.Array | None = None):
     """One phantom, two modality-style views (aligned!).
 
     Returns dict(tof (N,3), pc (N,3), pc_mask (N,), gt identity) — the
@@ -100,9 +101,14 @@ def modality_views(key: jax.Array, n_points: int,
     noise, branch dropout (mask), and an optional smooth deformation field
     (amplitude `deform_amp`) emulating modality disagreement; C2P's
     non-rigid stage exists to absorb exactly this.
+
+    base: optional (n_points, 3) unit-cube cloud to use instead of the
+    generated vessel tree — e.g. the real phantom mesh head
+    (pipelines.dataprep.phantom_from_obj).
     """
     kshape, kn1, kn2, kd, kdef = jax.random.split(key, 5)
-    base = vessel_phantom(kshape, n_points)
+    if base is None:
+        base = vessel_phantom(kshape, n_points)
     tof = jitter(kn1, base, sigma=tof_noise, clip=3 * tof_noise)
     pc = jitter(kn2, base, sigma=pc_noise, clip=3 * pc_noise)
     if deform_amp > 0:

@@ -108,15 +108,56 @@ def make_gt_one(key: jax.Array, sample, cfg: DataPrepConfig):
     }
 
 
+def phantom_from_obj(key: jax.Array, obj_path: str,
+                     n_points: int = 3000, sample_frac: float = 0.5,
+                     voxel: float = 0.005, crop_margin: float | None = None):
+    """The real-mesh head of the reference pipeline
+    (DataPreparation/run.py:77-117): load the phantom OBJ -> unit-cube scale
+    -> uniform surface sampling of int(V·sample_frac) points -> voxel
+    downsample -> optional bbox crop -> blue-noise (FPS) resample to
+    n_points.
+
+    Scale note: core.geometry.to_unit_cube normalizes to extent 1 (±0.5)
+    where the reference's scale_mesh uses extent 2 (±1), so the reference's
+    0.01 voxel maps to 0.005 here; every downstream radius in this framework
+    is tuned to the extent-1 cube.
+
+    Returns a (n_points, 3) float32 unit-cube cloud ready to stand as the
+    `base` of `synthetic.modality_views` / `generate_dataset`.
+    """
+    from pointcloudregistration_tpu.core.geometry import to_unit_cube
+    from pointcloudregistration_tpu.data import loaders
+    from pointcloudregistration_tpu.ops import fps as fps_mod
+    from pointcloudregistration_tpu.ops import meshing
+    from pointcloudregistration_tpu.ops import subsample as subsample_ops
+
+    verts, faces = loaders.read_obj_mesh(obj_path)
+    scaled, _, _ = to_unit_cube(jnp.asarray(verts))
+    n_surf = max(int(len(verts) * sample_frac), n_points * 2)
+    pts = meshing.sample_mesh_surface(key, scaled, jnp.asarray(faces),
+                                      n_surf)
+    sub, live = subsample_ops.grid_subsample(pts, voxel, n_surf)
+    if crop_margin is not None:
+        lo = jnp.min(jnp.where(live[:, None], sub, jnp.inf), 0) - crop_margin
+        hi = jnp.max(jnp.where(live[:, None], sub, -jnp.inf), 0) + crop_margin
+        live = live & jnp.all((sub >= lo) & (sub <= hi), -1)
+    # poisson-disk-equivalent resample: FPS spreads samples uniformly
+    idx = fps_mod.fps(sub, n_points, mask=live)
+    return sub[idx]
+
+
 def generate_dataset(key: jax.Array, cfg: DataPrepConfig = DataPrepConfig(),
-                     qc_state=None, out_path: str | None = None):
+                     qc_state=None, out_path: str | None = None,
+                     base: jnp.ndarray | None = None):
     """Full generation run. Returns dict of stacked arrays + QC table.
 
     qc_state: optional trained PointNetQC train state for the confidence
     filter; when None the filter is skipped (labels unavailable).
+    base: optional (n_points, 3) real phantom cloud (phantom_from_obj) to
+    use instead of the synthetic vessel tree.
     """
     kv, ka, kg = jax.random.split(key, 3)
-    views = synthetic.modality_views(kv, cfg.n_points)
+    views = synthetic.modality_views(kv, cfg.n_points, base=base)
     tof, pc, pc_mask = views["tof"], views["pc"], views["pc_mask"]
 
     keys = jax.random.split(ka, cfg.n_augment)
@@ -156,6 +197,163 @@ def generate_dataset(key: jax.Array, cfg: DataPrepConfig = DataPrepConfig(),
     if out_path is not None:
         np.savez_compressed(out_path, **record)
     return record
+
+
+def train_pointnet_qc(key: jax.Array, steps: int = 100, batch: int = 8,
+                      n_points: int = 512, lr: float = 1e-3,
+                      max_angle_deg: float = 90.0,
+                      dataset_batches: int = 8):
+    """Train the TOF-vs-PC PointNet quality classifier
+    (DataPreparation/Pointnet.py:69-226: Keras PointNet, Adam, sparse CE).
+
+    Batches are labeled modality views of phantoms, augmented with random
+    rotations exactly like the samples the filter later judges
+    (run.py:233-243). Like the reference, training runs epochs over a FIXED
+    dataset (`dataset_batches` pregenerated batches cycled) — the modality
+    signature (coverage holes, noise scale, smooth bias) is learnable per
+    dataset but weak across unlimited fresh phantoms. Returns (train_state,
+    history); the state plugs into `generate_dataset(qc_state=...)`.
+    """
+    import optax
+    from flax.training import train_state as ts_mod
+
+    from pointcloudregistration_tpu.data import augment as augment_mod
+    from pointcloudregistration_tpu.models.pointnet_qc import PointNetQC
+
+    class _State(ts_mod.TrainState):
+        batch_stats: dict = None
+
+    model = PointNetQC()
+    k0, k1 = jax.random.split(key)
+    variables = model.init({"params": k0, "dropout": k1},
+                           jnp.zeros((2, n_points, 3)), train=False)
+    state = _State.create(apply_fn=model.apply, params=variables["params"],
+                          tx=optax.adam(lr),
+                          batch_stats=variables["batch_stats"])
+
+    @jax.jit
+    def make_batch(bk):
+        keys = jax.random.split(bk, batch)
+
+        def one(k):
+            kv, kr1, kr2, ks = jax.random.split(k, 4)
+            views = synthetic.modality_views(kv, n_points, deform_amp=0.05)
+            # realize the PC coverage mask: dropped points are replaced by
+            # resampled kept points, so the classifier sees the actual
+            # modality signature (coverage holes + coarser noise + smooth
+            # bias) rather than phantom points
+            score = views["pc_mask"].astype(jnp.float32) + jax.random.uniform(
+                ks, (n_points,), maxval=0.5)
+            _, order = jax.lax.top_k(score, n_points)      # kept first
+            n_keep = jnp.maximum(jnp.sum(views["pc_mask"]), 1)
+            pc_real = views["pc"][order[jnp.mod(jnp.arange(n_points),
+                                                n_keep)]]
+            tof, _ = augment_mod.random_rotate(kr1, views["tof"],
+                                               max_angle_deg)
+            pc, _ = augment_mod.random_rotate(kr2, pc_real, max_angle_deg)
+            return tof, pc
+
+        tof, pc = jax.vmap(one)(keys)
+        x = jnp.concatenate([tof, pc], 0)
+        y = jnp.concatenate([jnp.zeros(batch, jnp.int32),
+                             jnp.ones(batch, jnp.int32)])
+        return x, y
+
+    @jax.jit
+    def train_step(state, k, x, y):
+        def loss_fn(params):
+            logits, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, train=True, rngs={"dropout": k},
+                mutable=["batch_stats"])
+            loss = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+                logits, y))
+            acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
+            return loss, (updates["batch_stats"], acc)
+
+        (loss, (bs, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        return (state.apply_gradients(grads=grads).replace(batch_stats=bs),
+                loss, acc)
+
+    hist = []
+    for step in range(steps):
+        kd, kt = jax.random.split(jax.random.fold_in(
+            key, (step % dataset_batches) + 2))
+        x, y = make_batch(kd)
+        state, loss, acc = train_step(state, jax.random.fold_in(kt, step),
+                                      x, y)
+        hist.append({"loss": float(loss), "accuracy": float(acc)})
+    return state, hist
+
+
+def _apply_T(pts: np.ndarray, T: np.ndarray) -> np.ndarray:
+    return pts @ T[:3, :3].T + T[:3, 3]
+
+
+def cpd_ground_truth(key: jax.Array, samples, method: str,
+                     out_path: str | None = None, iters: int = 50,
+                     corr_radius: float = 0.05,
+                     max_angle_deg: float = 90.0, max_trans: float = 1.5,
+                     seed: int = 0):
+    """CPD ground-truthing of RANSAC-aligned pairs — DataPreparation/
+    CPD.py:26-73 parity, feeding the RigidCPD/AffineCPD/NonRigidCPD dataset
+    stems (data/mri.py METHODS; ROPNet/src/data/MRI.py:103-574).
+
+    Per sample: apply the stored transformation, CPD-register the source
+    onto the target (rigid/affine/nonrigid via ops/cpd.py), disorient with a
+    fresh random SE(3) and store its inverse as the new GT — exactly the
+    reference flow. Rows are exported in the full columnar contract (plus
+    normals/correspondences, superset of the reference's 3-key CPD pickle).
+    """
+    from pointcloudregistration_tpu.data import loaders
+    from pointcloudregistration_tpu.data.mri import (_numpy_normals,
+                                                     random_se3)
+    from pointcloudregistration_tpu.ops import cpd as cpd_mod
+
+    assert method in ("rigid", "affine", "nonrigid"), method
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i, s in enumerate(samples):
+        src = np.asarray(s["source"], np.float32)
+        tgt = np.asarray(s["target"], np.float32)
+        T_stored = np.asarray(s.get("transformation", np.eye(4)), np.float32)
+        src = _apply_T(src, T_stored)
+        xs, ys = jnp.asarray(tgt), jnp.asarray(src)
+        if method == "rigid":
+            sc, R_, t_, _ = cpd_mod.cpd_rigid(xs, ys, iters=iters)
+            warped = np.asarray(sc * ys @ jnp.asarray(R_).T + t_)
+        elif method == "affine":
+            B_, t_, _ = cpd_mod.cpd_affine(xs, ys, iters=iters)
+            warped = np.asarray(ys @ jnp.asarray(B_).T + t_)
+        else:
+            warped_j, _, _ = cpd_mod.cpd_nonrigid(xs, ys, iters=iters)
+            warped = np.asarray(warped_j)
+        # disorient; the inverse is the stored GT (CPD.py:57-66)
+        R, t = random_se3(rng, max_angle_deg, max_trans)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3], T[:3, 3] = R, t
+        ts = warped @ R.T + t
+        T_inv = np.linalg.inv(T).astype(np.float32)
+        # correspondences at the CPD alignment (radius-gated NN)
+        d2 = (np.sum(warped**2, 1)[:, None] + np.sum(tgt**2, 1)[None]
+              - 2.0 * warped @ tgt.T)
+        nn = np.argmin(d2, 1)
+        ok = d2[np.arange(len(nn)), nn] < corr_radius**2
+        rows.append({
+            "source": ts.astype(np.float32), "target": tgt,
+            "src_normals": _numpy_normals(ts.astype(np.float32)),
+            "tgt_normals": _numpy_normals(tgt),
+            "transformation": T_inv,
+            "inlier_rmse": float(np.sqrt(
+                max(d2[np.arange(len(nn)), nn][ok].mean(), 0.0)
+                if ok.any() else 0.0)),
+            "inlier_ratio": float(ok.mean()),
+            "correspondence": np.where(ok, nn, -1).astype(np.int32),
+        })
+    if out_path is not None:
+        loaders.save_ransac_pickle_columnar(out_path, rows)
+    return rows
 
 
 def export_ransac_pickle(record: dict, path: str,
