@@ -105,6 +105,51 @@ class KPConv(nn.Module):
         return out
 
 
+class KPConvDeformable(nn.Module):
+    """Deformable kernel-point convolution (the deformable KPConv variants
+    in correspondence/lepard/blocks.py): a rigid KPConv first predicts
+    per-query offsets for every kernel point, the main correlation then
+    evaluates influences at the shifted kernel positions. Offsets are
+    initialized to zero (zero-init offset head) so the layer starts exactly
+    rigid."""
+    out_dim: int
+    radius: float
+    num_kernel_points: int = 15
+    kp_extent_ratio: float = 2.0 / 2.5
+    offset_scale: float = 1.0          # offsets bounded by KP extent
+
+    @nn.compact
+    def __call__(self, q_pts, s_pts, feats, neighbors, neighbor_mask):
+        K = self.num_kernel_points
+        in_dim = feats.shape[-1]
+        extent = self.radius * self.kp_extent_ratio
+        # offset predictor: rigid KPConv with a zero-init head -> (M, K, 3)
+        off = KPConv(3 * K, self.radius, K, self.kp_extent_ratio,
+                     name="offset_conv")(q_pts, s_pts, feats, neighbors,
+                                         neighbor_mask)
+        off_bias = self.param("offset_bias", nn.initializers.zeros, (3 * K,))
+        offsets = jnp.tanh((off + off_bias) / extent) \
+            * (extent * self.offset_scale)
+        offsets = offsets.reshape(offsets.shape[:-1] + (K, 3))
+
+        kp = jax.lax.stop_gradient(self.param(
+            "kernel_points",
+            lambda _: jnp.asarray(kernel_points(K, self.radius))))
+        W = self.param("weights", nn.initializers.lecun_normal(),
+                       (K, in_dim, self.out_dim))
+        nbr_pts = gather_points(s_pts, neighbors)         # (M, K_n, 3)
+        rel = nbr_pts - q_pts[..., :, None, :]
+        kp_def = kp[None, :, :] + offsets                  # (M, K, 3)
+        d = jnp.linalg.norm(rel[..., :, :, None, :]
+                            - kp_def[..., None, :, :], axis=-1)
+        infl = jax.nn.relu(1.0 - d / extent)
+        infl = jnp.where(neighbor_mask[..., :, :, None], infl, 0.0)
+        nbr_feats = gather_points(feats, neighbors)
+        h = jnp.einsum("...nk,...nc->...kc", infl, nbr_feats,
+                       precision=_PREC)
+        return jnp.einsum("...kc,kcd->...d", h, W, precision=_PREC)
+
+
 class BNReLU(nn.Module):
     momentum: float = 0.98
 

@@ -41,6 +41,7 @@ class LepardConfig(NamedTuple):
     vol_bnds_min: float = -1.0
     vol_bnds_max: float = 1.0
     voxel: float = 0.02
+    pe_type: str = "rotary"            # or "sinusoidal"
     matching: str = "dual_softmax"     # or "sinkhorn"
     dustbin_alpha: float = 1.0
     confidence_threshold: float = 0.05
@@ -72,6 +73,35 @@ def volumetric_rotary_encoding(points: jax.Array, feat_dim: int,
     return e[..., :feat_dim]
 
 
+def volumetric_sinusoidal_encoding(points: jax.Array, feat_dim: int,
+                                   voxel: float = 0.02) -> jax.Array:
+    """Additive sinusoidal 3-D encoding (position_encoding.py:5-35, the
+    'sinusoidal' branch): per-axis sin/cos of voxelized coordinates,
+    concatenated across axes to feat_dim."""
+    d_axis = max(feat_dim // 6 * 2, 2)
+    freqs = jnp.exp(jnp.arange(0, d_axis, 2) * (-jnp.log(10000.0) / d_axis))
+    vox = points / voxel
+    enc = []
+    for ax in range(3):
+        angles = vox[..., ax:ax + 1] * freqs[None, :]
+        enc.append(jnp.sin(angles))
+        enc.append(jnp.cos(angles))
+    e = jnp.concatenate(enc, -1)
+    if e.shape[-1] < feat_dim:
+        e = jnp.concatenate(
+            [e, jnp.zeros(e.shape[:-1] + (feat_dim - e.shape[-1],))], -1)
+    return e[..., :feat_dim]
+
+
+def position_encoding(points: jax.Array, feat_dim: int, voxel: float,
+                      pe_type: str) -> jax.Array:
+    if pe_type == "rotary":
+        return volumetric_rotary_encoding(points, feat_dim, voxel)
+    if pe_type == "sinusoidal":
+        return volumetric_sinusoidal_encoding(points, feat_dim, voxel)
+    raise ValueError(pe_type)
+
+
 def embed_rotary(x: jax.Array, pe: jax.Array) -> jax.Array:
     """Rotate feature pairs by the positional phases
     (position_encoding.py:26-35 embed_rotary)."""
@@ -90,15 +120,22 @@ def embed_rotary(x: jax.Array, pe: jax.Array) -> jax.Array:
 
 
 class GeometryAttentionLayer(nn.Module):
-    """Rotary-encoded attention + FFN merge (transformer.py:10-93)."""
+    """Position-encoded attention + FFN merge (transformer.py:10-93).
+    pe_type 'rotary' rotates q/k phase pairs (embed_rotary); 'sinusoidal'
+    adds the encoding before projection (position_encoding.py embed_pos)."""
     feat_dim: int
     nhead: int
+    pe_type: str = "rotary"
 
     @nn.compact
     def __call__(self, x, source, x_pe, source_pe, source_mask=None):
         d = self.feat_dim // self.nhead
-        q = embed_rotary(nn.Dense(self.feat_dim)(x), x_pe)
-        k = embed_rotary(nn.Dense(self.feat_dim)(source), source_pe)
+        if self.pe_type == "rotary":
+            q = embed_rotary(nn.Dense(self.feat_dim)(x), x_pe)
+            k = embed_rotary(nn.Dense(self.feat_dim)(source), source_pe)
+        else:
+            q = nn.Dense(self.feat_dim)(x + x_pe)
+            k = nn.Dense(self.feat_dim)(source + source_pe)
         v = nn.Dense(self.feat_dim)(source)
         qh = q.reshape(-1, self.nhead, d)
         kh = k.reshape(-1, self.nhead, d)
@@ -127,16 +164,18 @@ class RepositioningTransformer(nn.Module):
         cfg = self.cfg
         cur_src = src_pts
         for name in cfg.layers:
-            pe_s = volumetric_rotary_encoding(cur_src, cfg.feat_dim,
-                                              cfg.voxel)
-            pe_t = volumetric_rotary_encoding(tgt_pts, cfg.feat_dim,
-                                              cfg.voxel)
+            pe_s = position_encoding(cur_src, cfg.feat_dim, cfg.voxel,
+                                     cfg.pe_type)
+            pe_t = position_encoding(tgt_pts, cfg.feat_dim, cfg.voxel,
+                                     cfg.pe_type)
             if name == "self":
-                layer = GeometryAttentionLayer(cfg.feat_dim, cfg.nhead)
+                layer = GeometryAttentionLayer(cfg.feat_dim, cfg.nhead,
+                                               cfg.pe_type)
                 f_src = layer(f_src, f_src, pe_s, pe_s, src_mask)
                 f_tgt = layer(f_tgt, f_tgt, pe_t, pe_t, tgt_mask)
             elif name == "cross":
-                layer = GeometryAttentionLayer(cfg.feat_dim, cfg.nhead)
+                layer = GeometryAttentionLayer(cfg.feat_dim, cfg.nhead,
+                                               cfg.pe_type)
                 f_src = layer(f_src, f_tgt, pe_s, pe_t, tgt_mask)
                 f_tgt = layer(f_tgt, f_src, pe_t, pe_s, src_mask)
             elif name == "positioning":
@@ -240,6 +279,45 @@ class OutlierRejection(nn.Module):
         if mask is not None:
             conf = jnp.where(mask, conf, -1e9)
         return jax.nn.sigmoid(conf)
+
+
+class KPFCNBackbone(nn.Module):
+    """KPConv FCN backbone with the coarse/fine phase split
+    (correspondence/lepard/backbone.py:5-162 KPFCN): the encoder bottom is
+    the 'coarse' phase feeding the repositioning transformer; a decoder
+    recovers 'fine' per-point features at full resolution. Shares the
+    KPConv block library with NgeNet (models/kpconv.py — one block library
+    where the reference carries two copies)."""
+    first_feats_dim: int = 64
+    coarse_dim: int = 128
+    fine_dim: int = 32
+    voxel: float = 0.04
+    conv_radius: float = 2.5
+
+    @nn.compact
+    def __call__(self, pyr, train: bool = False):
+        from pointcloudregistration_tpu.models.kpconv import (UnaryBlock,
+                                                              nearest_upsample)
+        from pointcloudregistration_tpu.models.ngenet import (KPEncoder,
+                                                              NgeNetConfig)
+        ncfg = NgeNetConfig(first_feats_dim=self.first_feats_dim,
+                            first_subsampling_dl=self.voxel,
+                            conv_radius=self.conv_radius)
+        ones = jnp.ones(pyr["points"][0].shape[:-1] + (1,))
+        x, skips = KPEncoder(ncfg)(pyr, ones, train)      # (N3, 8d)
+        coarse = nn.Dense(self.coarse_dim)(x)             # phase-1 output
+        # fine phase: decoder back to L0 (backbone.py decoder blocks)
+        ups = pyr["upsamples"]
+        h = nearest_upsample(x, ups[2])
+        h = UnaryBlock(4 * self.first_feats_dim)(
+            jnp.concatenate([h, skips[2]], -1), train)
+        h = nearest_upsample(h, ups[1])
+        h = UnaryBlock(2 * self.first_feats_dim)(
+            jnp.concatenate([h, skips[1]], -1), train)
+        h = nearest_upsample(h, ups[0])
+        fine = nn.Dense(self.fine_dim)(
+            jnp.concatenate([h, skips[0]], -1))
+        return {"coarse_feats": coarse, "fine_feats": fine}
 
 
 class LandmarkModel(nn.Module):

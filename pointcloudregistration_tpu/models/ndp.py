@@ -52,6 +52,15 @@ class NDPConfig(NamedTuple):
     # effectively untruncated (trunc=1e+9, registration.py:236).
     trunc: float = 1e9
     mlp_scale: float = 1e-3   # near-identity init of the motion head
+    # early-stop of the per-level Adam loop (registration.py:246-256):
+    # stop once the loss plateaus (|prev - loss| < prev * break_ratio) for
+    # max_break_count cumulative steps, or drops below 1e-4. Implemented as
+    # a lax.while_loop, so a converged level really skips its remaining
+    # iterations; under vmap the level runs until the LAST pair in the
+    # batch converges (the vmap-of-while semantics), still a real win.
+    # 0 disables (fixed-length scan).
+    max_break_count: int = 15
+    break_ratio: float = 1e-3
     # NN backend for the data term: the Pallas kernel is ~4x faster than the
     # blocked-jnp scan at 3k-point scale (no HBM distance matrices)
     nn_backend: str = "auto"  # auto | pallas | jnp
@@ -118,7 +127,7 @@ def _use_pallas(cfg: NDPConfig) -> bool:
 
 
 def _level_loss(params, x, tgt, freq, use_gate, data_mask, tgt_mask, cfg,
-                ldmk_idx=None, ldmk_tgt=None, w_ldmk=0.0):
+                ldmk_idx=None, ldmk_tgt=None, w_ldmk=0.0, ldmk_mask=None):
     warped, gate = warp_level(params, x, freq, use_gate)
     if _use_pallas(cfg):
         from pointcloudregistration_tpu.ops import nnd_pallas
@@ -131,10 +140,16 @@ def _level_loss(params, x, tgt, freq, use_gate, data_mask, tgt_mask, cfg,
     loss = jnp.mean(data)
     if ldmk_idx is not None:
         # landmark-guided variant (LNDP): squared error on matched pairs
-        # (registration.py:223-227 when use_ldmk)
+        # (registration.py:210-227 when use_ldmk); ldmk_mask weights out
+        # rejected matches (static shape)
         w_l = jnp.sum((jnp.take_along_axis(
             warped, ldmk_idx[..., None], axis=-2) - ldmk_tgt) ** 2, -1)
-        loss = loss + w_ldmk * jnp.mean(w_l)
+        if ldmk_mask is not None:
+            w_l = jnp.where(ldmk_mask, w_l, 0.0)
+            loss = loss + w_ldmk * jnp.sum(w_l) / jnp.maximum(
+                jnp.sum(ldmk_mask), 1)
+        else:
+            loss = loss + w_ldmk * jnp.mean(w_l)
     # BCE(gate -> 0): prefer rigidity (registration.py:240-244)
     reg = -jnp.mean(jnp.log1p(-jnp.clip(gate, 0.0, 1.0 - 1e-6)), -1)
     return loss + cfg.w_reg * jnp.mean(jnp.where(use_gate, reg, 0.0))
@@ -147,7 +162,8 @@ def fit(key: jax.Array, src: jax.Array, tgt: jax.Array,
         tgt_mask: jax.Array | None = None,
         ldmk_idx: jax.Array | None = None,
         ldmk_tgt: jax.Array | None = None,
-        w_ldmk: float = 1.0):
+        w_ldmk: float = 1.0,
+        ldmk_mask: jax.Array | None = None):
     """Optimize the pyramid for one pair (or a batch via vmap).
 
     src (N, 3) rigidly-prealigned source, tgt (M, 3). data_mask selects the
@@ -185,24 +201,53 @@ def fit(key: jax.Array, src: jax.Array, tgt: jax.Array,
         use_gate = level > 0
         opt_state = opt.init(params)
 
-        def adam_step(carry, _):
-            p, s = carry
-            loss, g = jax.value_and_grad(_level_loss)(
+        def loss_grad(p):
+            return jax.value_and_grad(_level_loss)(
                 p, x, tgt, freq, use_gate, sub_mask, tgt_mask, cfg,
-                ldmk_idx, ldmk_tgt, w_ldmk)
-            updates, s = opt.update(g, s, p)
-            p = optax.apply_updates(p, updates)
-            return (p, s), loss
+                ldmk_idx, ldmk_tgt, w_ldmk, ldmk_mask)
 
-        (params_f, _), losses = jax.lax.scan(
-            adam_step, (params, opt_state), None, length=cfg.iters)
+        if cfg.max_break_count > 0:
+            # plateau early-stop (registration.py:246-256) as a while_loop:
+            # a converged level skips its remaining Adam iterations
+            def cond(carry):
+                _, _, step, prev, bad, _ = carry
+                return ((step < cfg.iters) & (bad < cfg.max_break_count)
+                        & (prev > 1e-4))
+
+            def body(carry):
+                p, s, step, prev, bad, losses = carry
+                loss, g = loss_grad(p)
+                updates, s = opt.update(g, s, p)
+                p = optax.apply_updates(p, updates)
+                losses = losses.at[step].set(loss)
+                bad = bad + (jnp.abs(prev - loss)
+                             < prev * cfg.break_ratio).astype(jnp.int32)
+                return (p, s, step + 1, loss, bad, losses)
+
+            init = (params, opt_state, jnp.asarray(0, jnp.int32),
+                    jnp.asarray(jnp.inf, jnp.float32),
+                    jnp.asarray(0, jnp.int32),
+                    jnp.full((cfg.iters,), jnp.nan, jnp.float32))
+            params_f, _, n_steps, _, _, losses = jax.lax.while_loop(
+                cond, body, init)
+        else:
+            def adam_step(carry, _):
+                p, s = carry
+                loss, g = loss_grad(p)
+                updates, s = opt.update(g, s, p)
+                p = optax.apply_updates(p, updates)
+                return (p, s), loss
+
+            (params_f, _), losses = jax.lax.scan(
+                adam_step, (params, opt_state), None, length=cfg.iters)
+            n_steps = jnp.asarray(cfg.iters, jnp.int32)
         warped, gate = warp_level(params_f, x, freq, use_gate)
         # detach: next level treats this level's output as data
         return jax.lax.stop_gradient(warped), (params_f, losses,
-                                               jnp.mean(gate))
+                                               jnp.mean(gate), n_steps)
 
     levels = jnp.arange(cfg.m, dtype=jnp.float32)
-    warped, (params_all, losses, gates) = jax.lax.scan(
+    warped, (params_all, losses, gates, n_steps) = jax.lax.scan(
         run_level, x_data, (params0, levels))
 
     if subset:
@@ -214,7 +259,8 @@ def fit(key: jax.Array, src: jax.Array, tgt: jax.Array,
                                 level > 0)
             return out, None
         warped, _ = jax.lax.scan(apply_level, src, (params_all, levels))
-    return warped, {"losses": losses, "gate_means": gates}
+    return warped, {"losses": losses, "gate_means": gates,
+                    "level_steps": n_steps}
 
 
 def fit_batch(key: jax.Array, src: jax.Array, tgt: jax.Array,

@@ -92,7 +92,12 @@ def build_pyramid(points: jax.Array, mask: jax.Array | None,
 
 def calibrate_neighbors(sample_pyramids, percentile: float = 80.0):
     """Histogram actual neighbor counts over sample pyramids and suggest
-    per-level K caps (reference: dataloader.py:185-205)."""
+    per-level K caps (reference: dataloader.py:185-205).
+
+    Note: counts here are truncated by the caps the pyramids were built
+    with; to pick caps from scratch use `calibrate_neighbor_caps`, which
+    counts exact in-radius neighborhoods.
+    """
     import numpy as np
     caps = []
     n_levels = len(sample_pyramids[0]["neighbor_masks"])
@@ -102,3 +107,37 @@ def calibrate_neighbors(sample_pyramids, percentile: float = 80.0):
             for p in sample_pyramids])
         caps.append(int(np.percentile(counts[counts > 0], percentile)) + 1)
     return tuple(caps)
+
+
+def calibrate_neighbor_caps(clouds, cfg: PyramidConfig,
+                            percentile: float = 80.0) -> PyramidConfig:
+    """Calibration pass over sample clouds: count EXACT in-radius neighbor
+    set sizes at every pyramid level (no cap truncation) and return the
+    config with per-level caps at the given percentile — the
+    calibrate_neighbors contract of the reference
+    (c2p-net/ngenet/data/dataloader.py:185-205: 80th-percentile histogram
+    over the dataset picks max_nn per layer).
+
+    clouds: iterable of (points (N, 3), mask or None). Host-side one-shot —
+    calibration happens once before training, not in the hot path.
+    """
+    import numpy as np
+    counts_per_level: list = [[] for _ in range(cfg.num_layers)]
+    for points, mask in clouds:
+        pyr = build_pyramid(jnp.asarray(points),
+                            None if mask is None else jnp.asarray(mask),
+                            cfg)
+        radius = cfg.first_voxel * cfg.conv_radius
+        for l in range(cfg.num_layers):
+            p = np.asarray(pyr["points"][l])
+            m = np.asarray(pyr["masks"][l])
+            d2 = np.sum((p[:, None] - p[None]) ** 2, -1)
+            cnt = ((d2 <= radius * radius) & m[None] & m[:, None]).sum(-1)
+            if m.any():
+                counts_per_level[l].append(cnt[m])
+            radius *= 2.0
+    caps = tuple(
+        int(np.percentile(np.concatenate(c), percentile)) + 1
+        if c else cfg.neighbor_caps[l]
+        for l, c in enumerate(counts_per_level))
+    return cfg._replace(neighbor_caps=caps)

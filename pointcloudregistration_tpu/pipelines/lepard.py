@@ -1,0 +1,225 @@
+"""Lepard landmark-stage pipeline: training + inference + the LNDP loop.
+
+Closes the reference's optional landmark-guided path
+(c2p-net/config/LNDP.yaml: use_ldmk True):
+  * training — KPFCN backbone -> RepositioningTransformer -> Matching ->
+    OutlierRejection, supervised by the focal matching loss + NeCo loss
+    (correspondence/lepard/loss.py MatchMotionLoss,
+    correspondence/outlier_rejection losses) on synthetic deformed pairs —
+    the reference trains the same stack on 4DMatch
+    (correspondence/main.py:25-119, lib/trainer.py:17-275);
+  * inference — `estimate_landmarks` mirrors Landmark_Model.inference
+    (correspondence/landmark_estimator.py:46-75): matches filtered by the
+    outlier-rejection confidence become 6-d landmark pairs;
+  * LNDP — `register_pair_lndp`: rigid pre-align from the soft-Procrustes
+    fit + ICP, then landmark-guided NDP (models/ndp.fit ldmk_* arguments =
+    registration.py:210-227 loss_ldmk).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import optax
+from flax.training import train_state
+
+from pointcloudregistration_tpu.core import se3
+from pointcloudregistration_tpu.data import synthetic
+from pointcloudregistration_tpu.losses.lepard import (LepardLossConfig,
+                                                      focal_matching_loss,
+                                                      matching_labels,
+                                                      neco_loss)
+from pointcloudregistration_tpu.models import ndp as ndp_mod
+from pointcloudregistration_tpu.models.lepard import (KPFCNBackbone,
+                                                      LandmarkModel,
+                                                      LepardConfig)
+from pointcloudregistration_tpu.ops import icp as icp_mod
+from pointcloudregistration_tpu.ops import knn as knn_ops
+from pointcloudregistration_tpu.ops.pyramid import PyramidConfig, build_pyramid
+from pointcloudregistration_tpu import metrics
+
+
+class LepardTrainConfig(NamedTuple):
+    model: LepardConfig = LepardConfig(feat_dim=64, nhead=4, voxel=0.08)
+    pyramid: PyramidConfig = PyramidConfig(
+        num_layers=4, first_voxel=0.025,
+        capacities=(1024, 512, 256, 128), neighbor_caps=(24, 24, 24, 24))
+    loss: LepardLossConfig = LepardLossConfig()
+    backbone_feats: int = 32
+    n_points: int = 1024
+    deform_amp: float = 0.08
+    max_angle_deg: float = 30.0
+    max_trans: float = 0.3
+    lr: float = 1e-4
+
+
+class LepardPipeline(nn.Module):
+    """Siamese backbone + landmark head over coarse pyramid points
+    (correspondence/lepard/pipeline.py:8-84)."""
+    cfg: LepardTrainConfig
+
+    @nn.compact
+    def __call__(self, pyr_src, pyr_tgt, train: bool = False):
+        cfg = self.cfg
+        bb = KPFCNBackbone(first_feats_dim=cfg.backbone_feats,
+                           coarse_dim=cfg.model.feat_dim,
+                           voxel=cfg.pyramid.first_voxel)
+        out_s = bb(pyr_src, train)
+        out_t = bb(pyr_tgt, train)
+        c_s, c_t = pyr_src["points"][3], pyr_tgt["points"][3]
+        m_s, m_t = pyr_src["masks"][3], pyr_tgt["masks"][3]
+        out = LandmarkModel(cfg.model)(c_s, c_t, out_s["coarse_feats"],
+                                       out_t["coarse_feats"], m_s, m_t)
+        out["coarse_src"], out["coarse_tgt"] = c_s, c_t
+        out["coarse_src_mask"], out["coarse_tgt_mask"] = m_s, m_t
+        out["fine_feats_src"] = out_s["fine_feats"]
+        out["fine_feats_tgt"] = out_t["fine_feats"]
+        return out
+
+
+class LepardTrainState(train_state.TrainState):
+    batch_stats: dict = None
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def make_sample(key: jax.Array, cfg: LepardTrainConfig):
+    """One deformed training pair + pyramids (the 4DMatch-style supervision
+    the reference trains on, correspondence/datasets/_4dmatch.py)."""
+    pair = synthetic.make_pair(key, n_points=cfg.n_points,
+                               max_angle_deg=cfg.max_angle_deg,
+                               max_trans=cfg.max_trans,
+                               deform_amp=cfg.deform_amp)
+    pyr_s = build_pyramid(pair["source"], pair["source_mask"], cfg.pyramid)
+    pyr_t = build_pyramid(pair["target"], pair["target_mask"], cfg.pyramid)
+    return {"pyr_src": pyr_s, "pyr_tgt": pyr_t,
+            "R_gt": pair["R_gt"], "t_gt": pair["t_gt"]}
+
+
+def create_train_state(key: jax.Array,
+                       cfg: LepardTrainConfig) -> LepardTrainState:
+    model = LepardPipeline(cfg)
+    sample = make_sample(jax.random.PRNGKey(0), cfg)
+    variables = model.init(key, sample["pyr_src"], sample["pyr_tgt"],
+                           train=False)
+    return LepardTrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        tx=optax.adam(cfg.lr),
+        batch_stats=variables.get("batch_stats"))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def train_step(state: LepardTrainState, sample, cfg: LepardTrainConfig):
+    lcfg = cfg.loss
+
+    def loss_fn(params):
+        out, updates = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            sample["pyr_src"], sample["pyr_tgt"], train=True,
+            mutable=["batch_stats"])
+        c_s, c_t = out["coarse_src"], out["coarse_tgt"]
+        m_s, m_t = out["coarse_src_mask"], out["coarse_tgt_mask"]
+        aligned = se3.transform(c_s, sample["R_gt"], sample["t_gt"])
+        labels = matching_labels(aligned, c_t, lcfg.pos_radius, m_s, m_t)
+        l_match, mm = focal_matching_loss(out["confidence"], labels,
+                                          m_s, m_t, lcfg.focal_alpha,
+                                          lcfg.focal_gamma)
+        l_neco, nm = neco_loss(out["inlier_confidence"], aligned,
+                               out["ldmk_tgt"], lcfg.pos_radius,
+                               mask=m_s & out["match_mask"])
+        total = lcfg.w_matching * l_match + lcfg.w_neco * l_neco
+        parts = {"matching_loss": l_match, "neco_loss": l_neco, **mm, **nm,
+                 "rre": metrics.isotropic_R_error(out["R"], sample["R_gt"]),
+                 "rte": metrics.isotropic_t_error(out["t"], sample["t_gt"])}
+        return total, (updates["batch_stats"], parts)
+
+    (loss, (bs, parts)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    state = state.apply_gradients(grads=grads).replace(batch_stats=bs)
+    return state, {"loss": loss, **parts}
+
+
+def train(key: jax.Array, cfg: LepardTrainConfig = LepardTrainConfig(),
+          steps: int = 100, log_every: int = 10,
+          ckpt_dir: str | None = None, log_dir: str | None = None,
+          resume: bool = False, save_every: int = 100):
+    """Driver (correspondence/lib/trainer.py:17-275 train/val loop with
+    snapshotting — here via train.loop.TrainHooks)."""
+    from pointcloudregistration_tpu.train.loop import TrainHooks
+    state = create_train_state(jax.random.fold_in(key, 0), cfg)
+    hooks = TrainHooks(ckpt_dir, log_dir, "lepard", save_every)
+    start = 0
+    if resume:
+        state, start = hooks.restore(state)
+    hist = []
+    for step in range(start, steps):
+        sample = make_sample(jax.random.fold_in(key, step + 1), cfg)
+        state, m = train_step(state, sample, cfg)
+        if (step % log_every == 0 or step == steps - 1
+                or (step + 1) % save_every == 0):
+            mf = {k: float(v) for k, v in m.items()}
+            hist.append(mf)
+            hooks.log(step, mf)
+            hooks.step_end(step, state, mf, steps)
+    hooks.close()
+    return state, hist
+
+
+@partial(jax.jit, static_argnames=("cfg", "inlier_thr"))
+def estimate_landmarks(state: LepardTrainState, source: jax.Array,
+                       target: jax.Array, source_mask=None, target_mask=None,
+                       cfg: LepardTrainConfig = LepardTrainConfig(),
+                       inlier_thr: float = 0.5):
+    """Landmark_Model.inference parity (landmark_estimator.py:46-75):
+    forward the matcher, keep matches the outlier-rejection net accepts.
+
+    Returns dict(ldmk_src (L,3), ldmk_tgt (L,3), ldmk_mask (L,), R, t,
+    src_idx (L,) — NN index of each landmark into the full source cloud for
+    models/ndp.fit's ldmk_idx contract).
+    """
+    pyr_s = build_pyramid(source, source_mask, cfg.pyramid)
+    pyr_t = build_pyramid(target, target_mask, cfg.pyramid)
+    out = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        pyr_s, pyr_t, train=False)
+    keep = (out["match_mask"] & (out["inlier_confidence"] > inlier_thr)
+            & out["coarse_src_mask"])
+    # map coarse landmark sources to their nearest full-cloud index
+    _, src_idx = knn_ops.nn_search(out["ldmk_src"], source,
+                                   ref_mask=source_mask)
+    return {"ldmk_src": out["ldmk_src"], "ldmk_tgt": out["ldmk_tgt"],
+            "ldmk_mask": keep, "src_idx": src_idx,
+            "R": out["R"], "t": out["t"],
+            "inlier_confidence": out["inlier_confidence"]}
+
+
+def register_pair_lndp(state: LepardTrainState, key: jax.Array,
+                       source: jax.Array, target: jax.Array,
+                       source_mask=None, target_mask=None,
+                       cfg: LepardTrainConfig = LepardTrainConfig(),
+                       ndp_cfg: ndp_mod.NDPConfig | None = None,
+                       inlier_thr: float = 0.5, w_ldmk: float = 1.0,
+                       icp_dist: float = 0.1):
+    """LNDP: landmark estimation -> rigid pre-align -> landmark-guided NDP
+    (c2p-net/config/LNDP.yaml flow; registration.py:210-227 landmark loss).
+    """
+    if ndp_cfg is None:
+        ndp_cfg = ndp_mod.NDPConfig(m=5, k0=-3, width=64, iters=30,
+                                    data_cap=None)
+    lm = estimate_landmarks(state, source, target, source_mask, target_mask,
+                            cfg, inlier_thr)
+    R, t, _ = icp_mod.icp(source, target, icp_dist, iters=15,
+                          R0=lm["R"], t0=lm["t"],
+                          src_mask=source_mask, tgt_mask=target_mask)
+    aligned = se3.transform(source, R, t)
+    warped, aux = ndp_mod.fit(key, aligned, target, ndp_cfg,
+                              data_mask=source_mask, tgt_mask=target_mask,
+                              ldmk_idx=lm["src_idx"],
+                              ldmk_tgt=lm["ldmk_tgt"], w_ldmk=w_ldmk,
+                              ldmk_mask=lm["ldmk_mask"])
+    cd = knn_ops.chamfer(warped, target, source_mask, target_mask, sqrt=True)
+    return {"R": R, "t": t, "warped": warped, "chamfer_nonrigid": cd,
+            "landmarks": lm, "ndp_losses": aux["losses"]}

@@ -90,3 +90,109 @@ def test_lndp_landmark_guided_fit():
     before = float(jnp.mean(jnp.sum((src[ldmk_idx] - ldmk_tgt) ** 2, -1)))
     after = float(jnp.mean(jnp.sum((warped[ldmk_idx] - ldmk_tgt) ** 2, -1)))
     assert after < before * 0.8, (before, after)
+
+
+def test_lndp_beats_plain_ndp_on_large_deformation():
+    """Landmark-guided NDP beats plain NDP on a large-deformation pair
+    (the LNDP capability, c2p-net/config/LNDP.yaml)."""
+    views = synthetic.modality_views(jax.random.PRNGKey(20), 300,
+                                     deform_amp=0.15)
+    src, tgt = views["tof"], views["pc"]
+    _, nn_idx = knn_ops.nn_search(src, tgt)
+    ldmk_idx = jnp.arange(0, 300, 5)
+    ldmk_tgt = tgt[nn_idx[ldmk_idx]]
+    cfg = ndp.NDPConfig(m=4, k0=-2, depth=2, width=24, iters=20,
+                        w_reg=0.001, trunc=0.1)
+    w_plain, _ = ndp.fit(jax.random.PRNGKey(21), src, tgt, cfg)
+    w_lndp, _ = ndp.fit(jax.random.PRNGKey(21), src, tgt, cfg,
+                        ldmk_idx=ldmk_idx, ldmk_tgt=ldmk_tgt, w_ldmk=5.0,
+                        ldmk_mask=jnp.ones(ldmk_idx.shape, bool))
+    err_plain = float(jnp.mean(jnp.linalg.norm(
+        w_plain[ldmk_idx] - ldmk_tgt, axis=-1)))
+    err_lndp = float(jnp.mean(jnp.linalg.norm(
+        w_lndp[ldmk_idx] - ldmk_tgt, axis=-1)))
+    assert err_lndp < err_plain, (err_plain, err_lndp)
+
+
+def test_sinusoidal_encoding_variant():
+    pts = jax.random.normal(jax.random.PRNGKey(0), (32, 3))
+    pe = lepard.volumetric_sinusoidal_encoding(pts, 48, 0.05)
+    assert pe.shape == (32, 48)
+    assert bool(jnp.isfinite(pe).all())
+    # distinct points -> distinct encodings
+    assert float(jnp.abs(pe[0] - pe[1]).max()) > 1e-3
+    # the sinusoidal LandmarkModel variant runs end to end
+    cfg = _CFG._replace(pe_type="sinusoidal")
+    f = jax.random.normal(jax.random.PRNGKey(1), (64, 16))
+    src = jax.random.normal(jax.random.PRNGKey(2), (64, 3))
+    model = lepard.LandmarkModel(cfg)
+    variables = model.init(jax.random.PRNGKey(3), src, src, f, f)
+    out = model.apply(variables, src, src, f, f)
+    assert bool(jnp.isfinite(out["confidence"]).all())
+
+
+def test_deformable_kpconv():
+    """Deformable KPConv (lepard/blocks.py deformable variants): zero-init
+    offsets make it match rigid-KPConv shapes and run finite."""
+    from pointcloudregistration_tpu.models.kpconv import KPConvDeformable
+    key = jax.random.PRNGKey(4)
+    pts = jax.random.normal(key, (40, 3)) * 0.1
+    feats = jax.random.normal(jax.random.PRNGKey(5), (40, 8))
+    nbrs = jnp.tile(jnp.arange(16)[None], (40, 1))
+    nmask = jnp.ones((40, 16), bool)
+    conv = KPConvDeformable(out_dim=12, radius=0.2)
+    variables = conv.init(jax.random.PRNGKey(6), pts, pts, feats, nbrs,
+                          nmask)
+    out = conv.apply(variables, pts, pts, feats, nbrs, nmask)
+    assert out.shape == (40, 12)
+    assert bool(jnp.isfinite(out).all())
+
+
+_TRAIN_CFG = None
+
+
+def _train_cfg():
+    global _TRAIN_CFG
+    if _TRAIN_CFG is None:
+        from pointcloudregistration_tpu.ops.pyramid import PyramidConfig
+        from pointcloudregistration_tpu.pipelines import lepard as lp
+        _TRAIN_CFG = lp.LepardTrainConfig(
+            model=lepard.LepardConfig(feat_dim=32, nhead=4, voxel=0.16),
+            pyramid=PyramidConfig(num_layers=4, first_voxel=0.04,
+                                  capacities=(256, 128, 64, 32),
+                                  neighbor_caps=(12, 12, 12, 12)),
+            backbone_feats=16, n_points=256, deform_amp=0.05, lr=3e-4)
+    return _TRAIN_CFG
+
+
+def test_lepard_train_step_decreases_loss():
+    """The matcher loss trains (MatchMotionLoss + NeCo parity,
+    correspondence/lepard/loss.py)."""
+    from pointcloudregistration_tpu.pipelines import lepard as lp
+    cfg = _train_cfg()
+    state, hist = lp.train(jax.random.PRNGKey(0), cfg, steps=10,
+                           log_every=1)
+    losses = [h["loss"] for h in hist]
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+    assert "match_recall" in hist[-1] and "neco_accuracy" in hist[-1]
+
+
+def test_lepard_lndp_end_to_end():
+    """estimate_landmarks + register_pair_lndp run the full LNDP loop."""
+    from pointcloudregistration_tpu.pipelines import lepard as lp
+    cfg = _train_cfg()
+    state = lp.create_train_state(jax.random.PRNGKey(1), cfg)
+    pair = synthetic.make_pair(jax.random.PRNGKey(2), n_points=256,
+                               max_angle_deg=10.0, max_trans=0.1,
+                               deform_amp=0.03)
+    out = lp.register_pair_lndp(
+        state, jax.random.PRNGKey(3), pair["source"], pair["target"],
+        pair["source_mask"], pair["target_mask"], cfg,
+        ndp_cfg=ndp.NDPConfig(m=3, k0=-2, depth=2, width=16, iters=8))
+    assert out["warped"].shape == (256, 3)
+    assert bool(jnp.isfinite(out["warped"]).all())
+    assert bool(jnp.isfinite(out["chamfer_nonrigid"]))
+    lm = out["landmarks"]
+    assert lm["ldmk_src"].shape == lm["ldmk_tgt"].shape
+    assert lm["src_idx"].shape == lm["ldmk_mask"].shape
