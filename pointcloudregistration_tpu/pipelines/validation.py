@@ -113,8 +113,8 @@ def validate(key: jax.Array, n_pairs: int = 8, n_points: int = 3000,
             np.savez_compressed(
                 os.path.join(export_dir, f"pair{i:03d}_history.npz"),
                 R=np.asarray(out["R"]), t=np.asarray(out["t"]), **extra)
-    agg = {k: float(np.mean([r[k] for r in rows])) for r in rows[:1]
-           for k in rows[0]}
+    agg = ({k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+           if rows else {})
     result = {"per_pair": rows, "mean": agg}
     if out_path is not None:
         np.savez_compressed(
