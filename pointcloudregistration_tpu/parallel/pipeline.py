@@ -14,7 +14,7 @@ single-GPU):
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,9 @@ from pointcloudregistration_tpu.parallel.mesh import (BLOCKS_AXIS,
                                                       replicated)
 
 
-def make_register_batch_sharded(mesh: Mesh, cfg=None):
+@lru_cache(maxsize=8)
+def make_register_batch_sharded(mesh: Mesh, cfg=None,
+                                key_impl: str = "threefry2x32"):
     """Build the jitted DP registration step: pairs sharded over `pairs`.
 
     The step is a `shard_map` over the pair axis, so cross-pair
@@ -38,6 +40,10 @@ def make_register_batch_sharded(mesh: Mesh, cfg=None):
     partitioner is not trusted here: its top_k/sort handling inserts
     gratuitous all-gathers into the vmapped RANSAC scan). Takes
     (keys (B,2) u32, source, target, source_mask, target_mask).
+
+    Cached on (mesh, cfg, key_impl) so repeated `register_batch_sharded`
+    calls reuse one jitted program instead of retracing (regression-tested
+    in tests/test_scaling.py).
     """
     from pointcloudregistration_tpu.pipelines import c2p
     if cfg is None:
@@ -46,7 +52,8 @@ def make_register_batch_sharded(mesh: Mesh, cfg=None):
     def body(keys, s, t, sm, tm):
         return jax.vmap(
             lambda k, s1, t1, sm1, tm1: c2p.register_pair(
-                jax.random.wrap_key_data(k), s1, t1, sm1, tm1, cfg))(
+                jax.random.wrap_key_data(k, impl=key_impl),
+                s1, t1, sm1, tm1, cfg))(
             keys, s, t, sm, tm)
 
     # check_vma off: the single-chip pipeline's scan carries are initialized
@@ -76,12 +83,14 @@ def register_batch_sharded(mesh: Mesh, key: jax.Array,
     # per-pair keys are split on the host and sharded with the pairs — a
     # replicated key split inside the shard would repeat across devices
     keys = jax.random.split(key, B)
+    key_impl = "threefry2x32"
     if jnp.issubdtype(keys.dtype, jax.dtypes.prng_key):
+        key_impl = str(jax.random.key_impl(keys))
         keys = jax.random.key_data(keys)        # raw (B, 2) u32 shards
     psh = pair_sharding(mesh)
     args = jax.device_put((keys, source, target, source_mask, target_mask),
                           (psh,) * 5)
-    return make_register_batch_sharded(mesh, cfg)(*args)
+    return make_register_batch_sharded(mesh, cfg, key_impl)(*args)
 
 
 def _icp_blocked(src_block, tgt_block, src_maskb, tgt_maskb,

@@ -155,7 +155,8 @@ def stack_samples(samples):
 
 
 @lru_cache(maxsize=8)
-def make_dp_train_step(mesh, cfg: NgeNetTrainConfig):
+def make_dp_train_step(mesh, cfg: NgeNetTrainConfig,
+                       key_impl: str = "threefry2x32"):
     """Data-parallel train step: the sample batch sharded over the `pairs`
     mesh axis, gradients (and batch stats) pmean-reduced over ICI.
 
@@ -176,7 +177,8 @@ def make_dp_train_step(mesh, cfg: NgeNetTrainConfig):
     def body(state, keys, samples, w_saliency):
         def one(k, sample):
             (loss, (bs, parts)), grads = _loss_and_grads(
-                state, jax.random.wrap_key_data(k), sample, w_saliency, cfg)
+                state, jax.random.wrap_key_data(k, impl=key_impl), sample,
+                w_saliency, cfg)
             return loss, bs, parts, grads
 
         loss, bs, parts, grads = jax.vmap(one)(keys, samples)
@@ -209,10 +211,12 @@ def dp_train_step(mesh, state: NgeNetTrainState, key: jax.Array, samples,
         samples = stack_samples(samples)
     B = samples["R_gt"].shape[0]
     keys = jax.random.split(key, B)
+    key_impl = "threefry2x32"
     if jnp.issubdtype(keys.dtype, jax.dtypes.prng_key):
+        key_impl = str(jax.random.key_impl(keys))
         keys = jax.random.key_data(keys)
-    return make_dp_train_step(mesh, cfg)(state, keys, samples,
-                                         jnp.asarray(w_saliency))
+    return make_dp_train_step(mesh, cfg, key_impl)(state, keys, samples,
+                                                   jnp.asarray(w_saliency))
 
 
 def train(key: jax.Array, cfg: NgeNetTrainConfig = NgeNetTrainConfig(),

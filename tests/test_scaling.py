@@ -37,6 +37,37 @@ def test_pairs_sharded_c2p_has_no_collectives():
     assert not found, f"cross-pair collectives in DP program: {found}"
 
 
+def test_register_batch_sharded_caches_compilation():
+    """Two consecutive driver calls must reuse one jitted program — the
+    builder is lru_cached on (mesh, cfg, key_impl), so no retrace happens
+    (round-2 advisor finding: the closure used to be rebuilt per call)."""
+    from pointcloudregistration_tpu.parallel import pipeline
+    mesh = mesh_mod.make_mesh(n_pairs=8, n_blocks=1)
+    cfg = c2p.C2PConfig(ransac_hypotheses=256, icp_iters=2, run_ndp=False)
+    key = jax.random.PRNGKey(3)
+    data = synthetic.make_batch(key, 8, n_points=128, deform_amp=0.0)
+    args = (mesh, key, data["source"], data["target"],
+            data["source_mask"], data["target_mask"], cfg)
+    pipeline.register_batch_sharded(*args)
+    fn = pipeline.make_register_batch_sharded(
+        mesh, cfg, str(jax.random.key_impl(jax.random.split(key, 2))))
+    n_traces = fn._cache_size()
+    pipeline.register_batch_sharded(*args)
+    assert fn._cache_size() == n_traces, "second call retraced the driver"
+    assert pipeline.make_register_batch_sharded.cache_info().hits >= 2
+
+
+def test_wrap_key_data_preserves_impl():
+    """Per-pair keys must keep their PRNG impl through the raw-data
+    round-trip (round-2 advisor finding: impl used to be dropped)."""
+    key = jax.random.key(0, impl="rbg")
+    keys = jax.random.split(key, 4)
+    impl = str(jax.random.key_impl(keys))
+    assert impl == "rbg"
+    restored = jax.random.wrap_key_data(jax.random.key_data(keys), impl=impl)
+    assert str(jax.random.key_impl(restored)) == "rbg"
+
+
 def test_pairs_sharded_matches_single_device():
     """The sharded DP driver computes the same poses as plain vmap."""
     from pointcloudregistration_tpu.parallel import pipeline
