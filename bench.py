@@ -7,10 +7,14 @@ C2P-style pipeline (FPFH + vectorized RANSAC + ICP + NDP non-rigid refine)
 at the reference's working size (3000 points/cloud,
 c2p-net/ngenet/data/MRI.py:21).
 
-Baseline: the reference's pipeline is CPU Open3D RANSAC (100k iterations,
-~seconds/pair) + ~360 eager CUDA rounds of NDP (SURVEY.md §3.5); measured
-wall-times for that flow are ~10 s/pair on a single GPU workstation class
-machine. We use a conservative 0.2 pairs/sec as the reference point
+Baseline: MEASURED on this host by examples/bench_reference_classical.py
+(2026-08-20, 8 pairs x 3000 pts): 1.789 pairs/s for the reference's
+classical flow (FPFH + Open3D-parity adaptive RANSAC, vectorized numpy
+batches + ICP; stage split fpfh 0.11 / ransac 0.37 / icp 0.07 s/pair,
+mean RRE 3.6 deg on the same synthetic workload). That measurement covers
+only the CLASSICAL stages — the reference's full C2P additionally runs
+~360 eager CUDA rounds of NDP per pair (SURVEY.md §3.5), which this
+pipeline includes — so vs_baseline here is conservative.
 (vs_baseline = ours / reference).
 """
 
@@ -23,7 +27,9 @@ import jax.numpy as jnp
 from pointcloudregistration_tpu.data import synthetic
 from pointcloudregistration_tpu.pipelines import c2p
 
-REFERENCE_PAIRS_PER_SEC = 0.2  # conservative single-GPU reference estimate
+# measured: examples/bench_reference_classical.py on the bench host
+# (see module docstring); NOT an estimate
+REFERENCE_PAIRS_PER_SEC = 1.789
 
 
 def main():

@@ -3,12 +3,15 @@
 The reference's ground-truthing / classical pipeline is Open3D on CPU
 (DataPreparation/RANSAC.py:12-132): normal estimation + FPFH features,
 `registration_ransac_based_on_feature_matching` (max 100k iterations,
-confidence 0.999, edge-length 0.9 + distance checkers, 3-point samples),
-then point-to-point ICP refinement. Open3D is not installable in this image,
-so this script re-implements that exact flow with numpy + scipy cKDTree —
-including Open3D's adaptive early termination (iterations shrink as the
-best inlier ratio rises), which makes this measurement *favorable* to the
-baseline (a faithful fixed-100k loop would be far slower).
+confidence 0.999, mutual_filter=True, edge-length 0.9 + distance checkers,
+3-point samples), then point-to-point ICP refinement. Open3D is not
+installable in this image, so this script re-implements that exact flow
+with numpy + scipy cKDTree: hypothesis generation/scoring is vectorized in
+numpy batches (so Python interpreter overhead does not dominate the way a
+per-iteration loop would) and Open3D's adaptive early termination is kept
+(iterations shrink as the best inlier ratio rises). The emitted number is
+an *approximation* of the Open3D cost on this host — treat it as a
+same-order estimate, not an exact Open3D measurement.
 
 Run: python examples/bench_reference_classical.py [n_pairs] [n_points]
 Prints a JSON line with measured pairs/s; consumed by PERF.md / bench.py's
@@ -80,50 +83,86 @@ def kabsch(src: np.ndarray, tgt: np.ndarray):
     return R, ct - R @ cs
 
 
+def _batch_kabsch(a, b):
+    """Vectorized Kabsch over (H, 3, 3) triplet pairs -> (H,3,3), (H,3)."""
+    cs, ct = a.mean(1, keepdims=True), b.mean(1, keepdims=True)
+    H = np.einsum("hki,hkj->hij", a - cs, b - ct)
+    U, _, Vt = np.linalg.svd(H)
+    det = np.linalg.det(np.einsum("hij,hkj->hik",
+                                  Vt.transpose(0, 2, 1), U))
+    S = np.repeat(np.eye(3)[None], len(a), 0)
+    S[:, 2, 2] = np.sign(det)
+    R = np.einsum("hji,hjk,hlk->hil", Vt, S, U)
+    t = ct[:, 0] - np.einsum("hij,hj->hi", R, cs[:, 0])
+    return R, t
+
+
 def ransac_feature_matching(src, tgt, f_src, f_tgt, threshold: float,
                             max_iter: int = 100000, confidence: float = 0.999,
-                            edge_similarity: float = 0.9,
+                            edge_similarity: float = 0.9, hyp_batch: int = 512,
                             rng: np.random.Generator | None = None):
-    """Open3D-style correspondence RANSAC: NN matches in feature space,
-    3-point samples, edge-length + distance checkers, adaptive exit
-    (RANSAC.py:35-53 parameters)."""
+    """Open3D-style correspondence RANSAC: mutual-NN matches in feature
+    space (mutual_filter=True, RANSAC.py:44), 3-point samples, edge-length
+    + distance checkers, adaptive exit (RANSAC.py:35-53 parameters).
+
+    Hypothesis generation and scoring run in numpy batches of `hyp_batch`
+    so the measurement approximates Open3D's parallel C++ loop rather than
+    Python per-iteration overhead; the adaptive exit is re-evaluated
+    between batches (granularity favors the baseline slightly less than
+    Open3D's per-iteration check, batches are small enough not to matter).
+    """
     rng = rng or np.random.default_rng(0)
     ftree = cKDTree(f_tgt)
     _, match = ftree.query(f_src, k=1)            # (N,) src -> tgt
-    corr_src, corr_tgt = src, tgt[match]
+    # mutual_filter=True: keep src i only when tgt[match[i]]'s NN is i
+    fstree = cKDTree(f_src)
+    _, back = fstree.query(f_tgt, k=1)            # (M,) tgt -> src
+    mutual = back[match] == np.arange(len(f_src))
+    if mutual.sum() >= 3:
+        corr_src, corr_tgt = src[mutual], tgt[match[mutual]]
+    else:
+        corr_src, corr_tgt = src, tgt[match]
     n = len(corr_src)
-    tgt_tree = cKDTree(tgt)
     best_fit, best_Rt, it_needed = 0.0, (np.eye(3), np.zeros(3)), max_iter
     it = 0
     while it < min(max_iter, it_needed):
-        it += 1
-        sel = rng.choice(n, 3, replace=False)
-        a, b = corr_src[sel], corr_tgt[sel]
+        h = min(hyp_batch, min(max_iter, it_needed) - it)
+        it += h
+        sel = rng.integers(0, n, size=(h, 3))
+        a, b = corr_src[sel], corr_tgt[sel]       # (h, 3, 3)
         # edge-length checker
-        ea = np.linalg.norm(a - np.roll(a, 1, 0), axis=1)
-        eb = np.linalg.norm(b - np.roll(b, 1, 0), axis=1)
-        if not np.all((ea > edge_similarity * eb)
-                      & (eb > edge_similarity * ea)):
+        ea = np.linalg.norm(a - np.roll(a, 1, 1), axis=2)
+        eb = np.linalg.norm(b - np.roll(b, 1, 1), axis=2)
+        ok = np.all((ea > edge_similarity * eb)
+                    & (eb > edge_similarity * ea), axis=1)
+        ok &= (sel[:, 0] != sel[:, 1]) & (sel[:, 1] != sel[:, 2]) \
+            & (sel[:, 0] != sel[:, 2])
+        if not ok.any():
             continue
-        R, t = kabsch(a, b)
-        # distance checker on the sampled triplet
-        if np.any(np.linalg.norm(a @ R.T + t - b, axis=1) > threshold):
+        R, t = _batch_kabsch(a[ok], b[ok])
+        # distance checker on the sampled triplets
+        res = np.linalg.norm(np.einsum("hij,hkj->hki", R, a[ok])
+                             + t[:, None] - b[ok], axis=2)
+        ok2 = np.all(res <= threshold, axis=1)
+        if not ok2.any():
             continue
-        # evaluate on the full correspondence set
-        d = np.linalg.norm(corr_src @ R.T + t - corr_tgt, axis=1)
-        fit = float((d < threshold).mean())
-        if fit > best_fit:
-            best_fit, best_Rt = fit, (R, t)
-            if fit > 0:
-                it_needed = int(np.log(1 - confidence)
-                                / np.log(1 - min(fit, 0.9999) ** 3)) + 1
+        R, t = R[ok2], t[ok2]
+        # evaluate surviving hypotheses on the full correspondence set
+        d = np.linalg.norm(np.einsum("hij,nj->hni", R, corr_src)
+                           + t[:, None] - corr_tgt[None], axis=2)
+        fits = (d < threshold).mean(1)
+        j = int(np.argmax(fits))
+        if fits[j] > best_fit:
+            best_fit = float(fits[j])
+            best_Rt = (R[j], t[j])
+            it_needed = int(np.log(1 - confidence)
+                            / np.log(1 - min(best_fit, 0.9999) ** 3)) + 1
     # final refit on inliers of the best model
     R, t = best_Rt
     d = np.linalg.norm(corr_src @ R.T + t - corr_tgt, axis=1)
     inl = d < threshold
     if inl.sum() >= 3:
         R, t = kabsch(corr_src[inl], corr_tgt[inl])
-    _ = tgt_tree  # parity: Open3D builds the target KD-tree here too
     return R, t, best_fit, it
 
 
@@ -163,6 +202,14 @@ def main():
         ns, nt = estimate_normals(src), estimate_normals(tgt)
         fs, ft = fpfh(src, ns), fpfh(tgt, nt)
         t1 = time.perf_counter()
+        # Documented deviation from the reference's thresholds: RANSAC.py:37
+        # uses voxel_size*4 = 0.04 and ICP refine 0.02, but on near-rigid
+        # pairs in an extent-2 cube. This workload (identical to bench.py's)
+        # is an extent-1 cube WITH deform_amp=0.05 non-rigid deformation, so
+        # rigid-inlier residuals are ~0.05 by construction; the reference's
+        # scale-mapped 0.02/0.01 rejects genuine inliers (measured: mean RRE
+        # blows past 70 deg). 0.05 matches C2PConfig.ransac_thresh so both
+        # sides of the comparison solve the same problem.
         R, t, fit, iters = ransac_feature_matching(src, tgt, fs, ft,
                                                    threshold=0.05, rng=rng)
         t2 = time.perf_counter()

@@ -25,9 +25,13 @@ from pointcloudregistration_tpu.ops import knn as knn_ops
 from pointcloudregistration_tpu.ops import ransac as ransac_mod
 from pointcloudregistration_tpu.pipelines import c2p
 
+# True reference parity: untruncated data term (trunc=1e9 — the reference's
+# effective setting, registration.py:236 via NDP.yaml which sets no
+# truncation) on the FULL inlier set (data_cap=None), pyramid shape m=9 /
+# width=128 / iters<=40 / k0=-8 per c2p-net/config/NDP.yaml:8-24.
 PARITY_NDP = ndp_mod.NDPConfig(m=9, k0=-8, depth=3, width=128, iters=40,
-                               lr=0.01, w_reg=0.005, trunc=0.1,
-                               data_cap=1024)
+                               lr=0.01, w_reg=0.005, trunc=1e9,
+                               data_cap=None)
 
 
 def timed(fn, args, n_rep=5, sync=None):

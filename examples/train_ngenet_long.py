@@ -16,7 +16,6 @@ import json
 import os
 import sys
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -24,27 +23,8 @@ import jax.numpy as jnp
 from pointcloudregistration_tpu.pipelines import ngenet as ng
 from pointcloudregistration_tpu.train.loop import TrainHooks
 
-
-@partial(jax.jit, static_argnames=("cfg", "B"))
-def make_samples(key: jax.Array, cfg: ng.NgeNetTrainConfig, B: int):
-    keys = jax.random.split(key, B)
-    return jax.vmap(lambda k: ng.make_sample(k, cfg))(keys)
-
-
-@partial(jax.jit, static_argnames=("cfg",))
-def batched_train_step(state, keys, samples, w_saliency,
-                       cfg: ng.NgeNetTrainConfig):
-    """Mean-gradient update over a sample batch (single chip)."""
-    def one(k, sample):
-        (loss, (bs, parts)), grads = ng._loss_and_grads(
-            state, k, sample, w_saliency, cfg)
-        return loss, bs, parts, grads
-
-    loss, bs, parts, grads = jax.vmap(one)(keys, samples)
-    mean = lambda t: jax.tree.map(lambda x: jnp.mean(x, 0), t)
-    state = state.apply_gradients(grads=mean(grads)).replace(
-        batch_stats=mean(bs))
-    return state, {"loss": jnp.mean(loss), **mean(parts)}
+make_samples = ng.make_samples
+batched_train_step = ng.batched_train_step
 
 
 def main():
@@ -59,9 +39,16 @@ def main():
                                                  cfg))
     hooks = TrainHooks(ckpt_dir, ckpt_dir, "ngenet_long", save_every=250)
     state, start = hooks.restore(state)
-    print(f"start step {start}, steps {steps}, batch {B}", flush=True)
 
+    # saliency gate survives resume: re-derive from the best recall so far
+    # (the reference's gate persists within a run, trainNgeNet.py:217-219)
     w_sal = 0.0
+    if hooks.ckpt is not None:
+        best = hooks.ckpt._best.get("recall")
+        if best is not None and best["value"] > cfg.saliency_recall_gate:
+            w_sal = 1.0
+    print(f"start step {start}, steps {steps}, batch {B}, w_sal {w_sal}",
+          flush=True)
     t0 = time.perf_counter()
     for step in range(start, steps):
         kd, kl = jax.random.split(jax.random.fold_in(key, step + 2))

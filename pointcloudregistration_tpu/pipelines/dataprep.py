@@ -356,18 +356,13 @@ def cpd_ground_truth(key: jax.Array, samples, method: str,
     return rows
 
 
-def export_ransac_pickle(record: dict, path: str,
-                         accepted_only: bool = True) -> int:
-    """Write a generated dataset in the reference's columnar pickle contract
-    (DataPreparation/RANSAC.py:127-131), so the MRI dataset family
-    (data/mri.py) and any reference-side consumer can read it. Returns the
-    number of samples written."""
-    from pointcloudregistration_tpu.data import loaders
-
+def record_to_rows(record: dict, accepted_only: bool = True) -> list:
+    """Generated-dataset record -> list of rows in the reference's columnar
+    pickle contract (DataPreparation/RANSAC.py:127-131)."""
     keep = (np.asarray(record["accepted"], bool)
             if accepted_only else np.ones(len(record["source"]), bool))
     idx = np.nonzero(keep)[0]
-    rows = [{
+    return [{
         "source": np.asarray(record["source"][i]),
         "target": np.asarray(record["target"][i]),
         "src_normals": np.asarray(record["src_normals"][i]),
@@ -377,5 +372,16 @@ def export_ransac_pickle(record: dict, path: str,
         "inlier_ratio": float(record["inlier_ratio"][i]),
         "correspondence": np.asarray(record["correspondence"][i]),
     } for i in idx]
+
+
+def export_ransac_pickle(record: dict, path: str,
+                         accepted_only: bool = True) -> int:
+    """Write a generated dataset in the reference's columnar pickle contract
+    (DataPreparation/RANSAC.py:127-131), so the MRI dataset family
+    (data/mri.py) and any reference-side consumer can read it. Returns the
+    number of samples written."""
+    from pointcloudregistration_tpu.data import loaders
+
+    rows = record_to_rows(record, accepted_only)
     loaders.save_ransac_pickle_columnar(path, rows)
     return len(rows)

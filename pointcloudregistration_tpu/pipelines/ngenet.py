@@ -154,6 +154,64 @@ def stack_samples(samples):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *samples)
 
 
+@partial(jax.jit, static_argnames=("cfg", "B"))
+def make_samples(key: jax.Array, cfg: NgeNetTrainConfig, B: int):
+    """B synthetic training samples with a leading batch axis."""
+    keys = jax.random.split(key, B)
+    return jax.vmap(lambda k: make_sample(k, cfg))(keys)
+
+
+@jax.jit
+def gather_samples(stacked, idx: jax.Array):
+    """Select rows of a stacked sample pytree: the on-device batch draw."""
+    return jax.tree.map(lambda x: x[idx], stacked)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def batched_train_step(state: NgeNetTrainState, keys, samples, w_saliency,
+                       cfg: NgeNetTrainConfig):
+    """Mean-gradient update over a stacked sample batch (single chip).
+
+    Equivalent to the reference's per-sample SGD budget
+    (trainNgeNet.py:102-152) at 1/B the step count with better MXU
+    utilization; batch_stats are batch-averaged like a true batched
+    BatchNorm step.
+    """
+    def one(k, sample):
+        (loss, (bs, parts)), grads = _loss_and_grads(state, k, sample,
+                                                     w_saliency, cfg)
+        return loss, bs, parts, grads
+
+    loss, bs, parts, grads = jax.vmap(one)(keys, samples)
+    mean = lambda t: jax.tree.map(lambda x: jnp.mean(x, 0), t)
+    state = state.apply_gradients(grads=mean(grads)).replace(
+        batch_stats=mean(bs))
+    return state, {"loss": jnp.mean(loss), **mean(parts)}
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def eval_metrics(state: NgeNetTrainState, key: jax.Array, samples,
+                 cfg: NgeNetTrainConfig):
+    """Loss parts + correspondence recall on a stacked eval batch
+    (train=False, no state mutation) — the val loop of trainNgeNet.py."""
+    def one(k, sample):
+        (out_s, out_t) = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            sample["pyr_src"], sample["pyr_tgt"],
+            sample["normals_src"], sample["normals_tgt"], train=False)
+        total, parts = ngenet_loss(
+            k, sample["pyr_src"]["points"][0],
+            sample["pyr_tgt"]["points"][0], out_s, out_t,
+            sample["R_gt"], sample["t_gt"],
+            sample["pyr_src"]["masks"][0], sample["pyr_tgt"]["masks"][0],
+            w_saliency=jnp.zeros(()), cfg=cfg.loss)
+        return {"loss": total, **parts}
+
+    keys = jax.random.split(key, samples["R_gt"].shape[0])
+    return jax.tree.map(lambda x: jnp.mean(x, 0),
+                        jax.vmap(one)(keys, samples))
+
+
 @lru_cache(maxsize=8)
 def make_dp_train_step(mesh, cfg: NgeNetTrainConfig,
                        key_impl: str = "threefry2x32"):
