@@ -132,6 +132,41 @@ def cmd_ngenet_train(args):
                       "final_recall": float(hist[-1]["recall"])}))
 
 
+def _lepard_cfg(small: bool):
+    from pointcloudregistration_tpu.models.lepard import LepardConfig
+    from pointcloudregistration_tpu.ops.pyramid import PyramidConfig
+    from pointcloudregistration_tpu.pipelines import lepard
+    cfg = lepard.LepardTrainConfig()
+    if small:
+        cfg = cfg._replace(
+            model=LepardConfig(feat_dim=32, nhead=2, voxel=0.08),
+            pyramid=PyramidConfig(num_layers=4, first_voxel=0.04,
+                                  capacities=(256, 128, 64, 32),
+                                  neighbor_caps=(12, 12, 12, 12)),
+            backbone_feats=16, n_points=256)
+    return cfg
+
+
+def cmd_lepard_train(args):
+    from pointcloudregistration_tpu.pipelines import lepard
+    state, hist = lepard.train(_key(args.seed), _lepard_cfg(args.small),
+                               steps=args.steps, data=args.data,
+                               ckpt_dir=args.ckpt_dir, log_dir=args.log_dir,
+                               resume=args.resume)
+    print(json.dumps({"steps": args.steps,
+                      "final_loss": float(hist[-1]["loss"]),
+                      "final_match_recall":
+                          float(hist[-1]["match_recall"])}))
+
+
+def cmd_fourdmatch(args):
+    from pointcloudregistration_tpu.data import fourdmatch
+    counts = fourdmatch.generate_fourdmatch(
+        _key(args.seed), args.out, args.pairs,
+        fourdmatch.FourDMatchConfig(n_points=args.points))
+    print(json.dumps({"out": args.out, **counts}))
+
+
 def cmd_c2p(args):
     import jax.numpy as jnp
     from pointcloudregistration_tpu.data import synthetic
@@ -205,6 +240,20 @@ def main(argv=None):
     g = sub.add_parser("ngenet-train", help="train NgeNet")
     train_flags(g)
     g.set_defaults(fn=cmd_ngenet_train)
+
+    le = sub.add_parser("lepard-train",
+                        help="train the Lepard landmark matcher")
+    train_flags(le)
+    le.set_defaults(fn=cmd_lepard_train)
+
+    fd = sub.add_parser("fourdmatch",
+                        help="generate a 4DMatch-contract deformed-pair "
+                             "dataset (npz per pair with GT flow)")
+    fd.add_argument("--out", required=True)
+    fd.add_argument("--pairs", type=int, default=64)
+    fd.add_argument("--points", type=int, default=1024)
+    fd.add_argument("--seed", type=int, default=0)
+    fd.set_defaults(fn=cmd_fourdmatch)
 
     c = sub.add_parser("c2p", help="run the C2P registration pipeline")
     c.add_argument("--pairs", type=int, default=8)

@@ -83,6 +83,31 @@ def svd3(H: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     return U, S, V
 
 
+@jax.custom_vjp
+def _grad_guard(x):
+    """Identity whose backward zeroes non-finite cotangent entries.
+
+    Training-time Procrustes layers differentiate through the 3x3 SVD,
+    whose VJP blows up on (near-)degenerate covariances — exactly the
+    failure the reference catches with a try/except identity fallback
+    during early Lepard training (correspondence/lepard/procrustes.py:
+    79-84). Wrapping the covariance keeps the forward exact and drops only
+    the unstable gradient contribution, jit-compatibly.
+    """
+    return x
+
+
+def _grad_guard_fwd(x):
+    return x, None
+
+
+def _grad_guard_bwd(_, g):
+    return (jnp.where(jnp.isfinite(g), g, 0.0),)
+
+
+_grad_guard.defvjp(_grad_guard_fwd, _grad_guard_bwd)
+
+
 def kabsch(src: jax.Array, tgt: jax.Array,
            weights: jax.Array | None = None) -> tuple[jax.Array, jax.Array]:
     """Weighted rigid fit: R, t minimizing sum w_i |R s_i + t - t_i|^2.
@@ -91,6 +116,7 @@ def kabsch(src: jax.Array, tgt: jax.Array,
     (reference det-fix: ROPNet/src/models/model_utils.py:128-133).
     """
     H, sc, tc, _ = cross_covariance(src, tgt, weights)
+    H = _grad_guard(H)
     U, _, V = svd3(H)
     # R = V U^T with reflection fix on the last column of V
     det = det3(jnp.einsum("...ik,...jk->...ij", V, U, precision=lax.Precision.HIGHEST))

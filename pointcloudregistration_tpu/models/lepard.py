@@ -163,6 +163,7 @@ class RepositioningTransformer(nn.Module):
                  src_mask=None, tgt_mask=None):
         cfg = self.cfg
         cur_src = src_pts
+        position_layers = []
         for name in cfg.layers:
             pe_s = position_encoding(cur_src, cfg.feat_dim, cfg.voxel,
                                      cfg.pe_type)
@@ -179,15 +180,18 @@ class RepositioningTransformer(nn.Module):
                 f_src = layer(f_src, f_tgt, pe_s, pe_t, tgt_mask)
                 f_tgt = layer(f_tgt, f_src, pe_t, pe_s, src_mask)
             elif name == "positioning":
-                # intermediate soft-Procrustes re-warp of the src positions
+                # intermediate soft-Procrustes re-warp of the src positions;
+                # the intermediate (conf, R, t) is supervised by the loss
+                # exactly like the final fit (loss.py:156-190)
                 conf = dual_softmax_confidence(f_src, f_tgt,
                                                src_mask, tgt_mask)
                 R, t = procrustes.soft_procrustes(conf, cur_src, tgt_pts)
+                position_layers.append({"conf": conf, "R": R, "t": t})
                 cur_src = jax.lax.stop_gradient(
                     se3.transform(cur_src, R, t))
             else:
                 raise ValueError(name)
-        return f_src, f_tgt, cur_src
+        return f_src, f_tgt, cur_src, position_layers
 
 
 def dual_softmax_confidence(f_src, f_tgt, src_mask=None, tgt_mask=None,
@@ -332,8 +336,9 @@ class LandmarkModel(nn.Module):
                  src_mask=None, tgt_mask=None):
         proj = nn.Dense(self.cfg.feat_dim)
         f_src, f_tgt = proj(f_src), proj(f_tgt)
-        f_src, f_tgt, repositioned = RepositioningTransformer(self.cfg)(
-            src_pts, tgt_pts, f_src, f_tgt, src_mask, tgt_mask)
+        f_src, f_tgt, repositioned, position_layers = \
+            RepositioningTransformer(self.cfg)(
+                src_pts, tgt_pts, f_src, f_tgt, src_mask, tgt_mask)
         conf = Matching(self.cfg)(f_src, f_tgt, src_mask, tgt_mask)
         match_idx, match_ok = extract_matches(
             conf, self.cfg.confidence_threshold)
@@ -350,4 +355,5 @@ class LandmarkModel(nn.Module):
             "ldmk_src": corr_src,
             "ldmk_tgt": corr_tgt,
             "R": R, "t": t,
+            "position_layers": tuple(position_layers),
         }

@@ -178,6 +178,95 @@ def test_lepard_train_step_decreases_loss():
     assert "match_recall" in hist[-1] and "neco_accuracy" in hist[-1]
 
 
+def test_motion_loss_zero_at_perfect_prediction():
+    """sflow_pred == sflow_gt <=> zero loss (loss.py:110-129 semantics).
+    A rigid-only prediction on a deformed pair must pay the deformation."""
+    from pointcloudregistration_tpu.losses.lepard import motion_loss
+    key = jax.random.PRNGKey(0)
+    s = jax.random.normal(key, (64, 3))
+    R, t = se3.random_se3(jax.random.PRNGKey(1), (), max_angle_deg=30.0)
+    flow = 0.05 * jax.random.normal(jax.random.PRNGKey(2), (64, 3))
+    # 3dmatch branch: rigid GT, rigid prediction == GT -> exactly zero
+    assert float(motion_loss(R, t, s, R, t, flow_gt=None)) < 1e-6
+    # 4dmatch branch: the same rigid prediction must pay ~|flow|
+    l = float(motion_loss(R, t, s, R, t, flow_gt=flow))
+    expected = float(jnp.mean(jnp.sum(jnp.abs(
+        se3.transform(flow, R, jnp.zeros(3)) - se3.transform(
+            jnp.zeros_like(flow), R, jnp.zeros(3))), -1)))
+    assert l > 1e-3
+    np.testing.assert_allclose(l, expected, rtol=1e-4)
+
+
+def test_fourdmatch_contract_and_roundtrip(tmp_path):
+    """Generator obeys the _4dmatch.py npz contract: rot@(s_pc+s2t_flow)
+    +trans lands on the matched target points; loader round-trips."""
+    from pointcloudregistration_tpu.data import fourdmatch as fdm
+    cfg = fdm.FourDMatchConfig(n_points=128, deform_amp=0.06)
+    pair = fdm.make_deformed_pair(jax.random.PRNGKey(0), cfg)
+    warped = se3.transform(pair["s_pc"] + pair["s2t_flow"],
+                           pair["rot"], pair["trans"])
+    m = np.asarray(pair["corr_mask"])
+    assert m.sum() > 10
+    d = np.linalg.norm(
+        np.asarray(warped)[m]
+        - np.asarray(pair["t_pc"])[np.asarray(pair["corr_idx"])[m]], axis=1)
+    assert d.max() < cfg.corr_radius + 1e-6
+    counts = fdm.generate_fourdmatch(jax.random.PRNGKey(1), str(tmp_path),
+                                     8, cfg)
+    assert counts["train"] >= 4
+    ds = fdm.FourDMatchPairs(str(tmp_path), "train")
+    assert len(ds) == counts["train"]
+    row = ds[0]
+    for k in ("s_pc", "t_pc", "rot", "trans", "s2t_flow",
+              "correspondences"):
+        assert k in row, k
+    assert row["correspondences"].ndim == 2
+    assert row["correspondences"].shape[1] == 2
+    # the reference loader's own glob pattern (split/*/*.npz) finds them
+    import glob, os
+    assert glob.glob(os.path.join(str(tmp_path), "train", "*", "*.npz"))
+
+
+def test_lepard_train_on_fourdmatch_dir(tmp_path):
+    """Persisted 4DMatch-contract data streams through lepard.train with
+    the full MatchMotionLoss (flow + positioning layers + fine NCE)."""
+    from pointcloudregistration_tpu.data import fourdmatch as fdm
+    from pointcloudregistration_tpu.pipelines import lepard as lp
+    cfg = _train_cfg()
+    fdm.generate_fourdmatch(
+        jax.random.PRNGKey(5), str(tmp_path), 6,
+        fdm.FourDMatchConfig(n_points=cfg.n_points,
+                             deform_amp=cfg.deform_amp))
+    state, hist = lp.train(jax.random.PRNGKey(0), cfg, steps=6,
+                           log_every=1, data=str(tmp_path))
+    assert np.isfinite([h["loss"] for h in hist]).all()
+    for k in ("motion_loss", "fine_loss", "fine_recall", "match_recall"):
+        assert k in hist[-1], k
+
+
+def test_estimate_landmarks_fine_refinement():
+    """Fine refinement keeps landmarks among the fine_k nearest level-0
+    target points of the coarse landmark (the coarse->fine split)."""
+    from pointcloudregistration_tpu.pipelines import lepard as lp
+    cfg = _train_cfg()
+    state = lp.create_train_state(jax.random.PRNGKey(1), cfg)
+    pair = synthetic.make_pair(jax.random.PRNGKey(2), n_points=256,
+                               max_angle_deg=10.0, max_trans=0.1,
+                               deform_amp=0.03)
+    lm = lp.estimate_landmarks(state, pair["source"], pair["target"],
+                               pair["source_mask"], pair["target_mask"],
+                               cfg, fine_k=8)
+    assert "coarse_ldmk_tgt" in lm
+    # every fine target is within the 8-NN ball (among level-0 pyramid
+    # points — the refinement's candidate set) of its coarse anchor
+    from pointcloudregistration_tpu.ops.pyramid import build_pyramid
+    pyr_t = build_pyramid(pair["target"], pair["target_mask"], cfg.pyramid)
+    d_fine = jnp.linalg.norm(lm["ldmk_tgt"] - lm["coarse_ldmk_tgt"], axis=-1)
+    d8, _ = knn_ops.knn(lm["coarse_ldmk_tgt"], pyr_t["points"][0], 8,
+                        ref_mask=pyr_t["masks"][0])
+    assert bool(jnp.all(d_fine ** 2 <= d8[:, -1] + 1e-5))
+
+
 def test_lepard_lndp_end_to_end():
     """estimate_landmarks + register_pair_lndp run the full LNDP loop."""
     from pointcloudregistration_tpu.pipelines import lepard as lp

@@ -114,3 +114,53 @@ def test_silhouette_render_and_cost():
     g = jax.grad(lambda p: render.silhouette_cost(
         p, cam, 60, 80, 60.0, 60.0, 40.0, 30.0))(cam + 0.1)
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
+
+
+def test_perspective_render_zorder_and_alpha():
+    """PCDRender-parity rasterizer: shapes, z-ordered occlusion, zbuf
+    (point_render.py:82-105: rasterize -> weights 1-d2/r2 -> alpha
+    compositing)."""
+    cam = render.PerspectiveCamera(fx=60.0, fy=60.0, cx=40.0, cy=30.0,
+                                   height=60, width=80)
+    # two points projecting to the same pixel at different depths: the
+    # near one must dominate the composited color and the zbuf
+    pts = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 3.0]])
+    feats = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+    img, alpha, zbuf = render.render_points(pts, feats, cam,
+                                            radius_px=2.0, k=2)
+    assert img.shape == (60, 80, 2) and alpha.shape == (60, 80)
+    cy, cx = 30, 40
+    assert float(img[cy, cx, 0]) > float(img[cy, cx, 1])   # near wins
+    np.testing.assert_allclose(float(zbuf[cy, cx]), 1.0, atol=1e-5)
+    assert float(alpha[cy, cx]) > 0.9
+    # extrinsics: camera translated back renders the world-frame cloud
+    world = synthetic.vessel_phantom(jax.random.PRNGKey(4), 300)
+    cam2 = cam.with_extrinsics(np.eye(3), [0.0, 0.0, 2.0])
+    ones = jnp.ones((300, 1))
+    _, a2, _ = render.render_points(world, ones, cam2, radius_px=2.0, k=4)
+    assert float(a2.max()) > 0.5
+
+
+def test_perspective_silhouette_optimization_converges():
+    """Gradient descent on a translation through the perspective
+    silhouette cost recovers the offset (the VERDICT-mandated check that
+    the perspective path serves the silhouette objective)."""
+    world = synthetic.vessel_phantom(jax.random.PRNGKey(5), 256)
+    cam = render.PerspectiveCamera(fx=60.0, fy=60.0, cx=40.0, cy=30.0,
+                                   height=60, width=80).with_extrinsics(
+        np.eye(3), [0.0, 0.0, 2.0])
+    offset0 = jnp.asarray([0.15, -0.1, 0.0])
+
+    cost = jax.jit(lambda off: render.perspective_silhouette_cost(
+        world + off, world, cam, radius_px=2.0, k=4))
+    g = jax.jit(jax.grad(cost))
+    off = offset0
+    c_start = float(cost(off))
+    for _ in range(60):
+        off = off - 0.5 * g(off)
+    c_end = float(cost(off))
+    assert c_end < c_start * 0.5, (c_start, c_end)
+    # x/y are what a silhouette observes (z trades off against scale);
+    # the in-plane offset must shrink substantially
+    assert float(jnp.linalg.norm(off[:2])) \
+        < 0.5 * float(jnp.linalg.norm(offset0[:2]))
