@@ -1,0 +1,119 @@
+"""Train Lepard with the full MatchMotionLoss, then measure LNDP vs NDP.
+
+The VERDICT-mandated evidence for the landmark path: on low-overlap
+deformed pairs, landmark-guided NDP (LNDP — c2p-net/config/LNDP.yaml) must
+match or beat plain NDP from the same rigid initialization. Reports
+end-to-end truncated Chamfer for both, plus landmark inlier rate
+(landmark_estimator.py:46-75's quality signal).
+
+Usage: python examples/train_lepard_eval_lndp.py [steps] [n_eval] [ckpt]
+Writes <ckpt>/lndp_eval.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointcloudregistration_tpu.core import se3
+from pointcloudregistration_tpu.data import fourdmatch
+from pointcloudregistration_tpu.models import ndp as ndp_mod
+from pointcloudregistration_tpu.ops import icp as icp_mod
+from pointcloudregistration_tpu.ops import knn as knn_ops
+from pointcloudregistration_tpu.pipelines import lepard as lp
+
+NDP_CFG = ndp_mod.NDPConfig(m=5, k0=-3, width=64, iters=30, data_cap=None)
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1200
+    n_eval = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    ckpt = sys.argv[3] if len(sys.argv) > 3 else "artifacts/lepard_real"
+    cfg = lp.LepardTrainConfig()           # 1024-pt pairs, deform 0.08
+
+    t0 = time.perf_counter()
+    state, hist = lp.train(jax.random.PRNGKey(0), cfg, steps=steps,
+                           log_every=25, ckpt_dir=ckpt, log_dir=ckpt,
+                           resume=True)
+    print(f"trained {steps} steps ({time.perf_counter()-t0:.0f}s): "
+          f"loss {hist[-1]['loss']:.3f} "
+          f"match_recall {hist[-1]['match_recall']:.3f} "
+          f"fine_recall {hist[-1].get('fine_recall', -1):.3f}", flush=True)
+
+    # low-overlap deformed eval pairs: heavier dropout + deformation than
+    # training (the regime the landmark stage exists for)
+    ecfg = fourdmatch.FourDMatchConfig(
+        n_points=cfg.n_points, deform_amp=0.12, max_angle_deg=35.0,
+        max_trans=0.35, tgt_dropout=0.5)
+    rows = []
+    for i in range(n_eval):
+        pair = fourdmatch.make_deformed_pair(
+            jax.random.fold_in(jax.random.PRNGKey(77), i), ecfg)
+        src = pair["s_pc"]
+        sm = jnp.ones(src.shape[:-1], bool)
+        tgt, tm = pair["t_pc"], pair["t_mask"]
+        key = jax.random.PRNGKey(1000 + i)
+
+        out = lp.register_pair_lndp(state, key, src, tgt, sm, tm, cfg,
+                                    ndp_cfg=NDP_CFG)
+        # plain NDP from the SAME rigid initialization
+        lm = out["landmarks"]
+        R, t, _ = icp_mod.icp(src, tgt, 0.1, iters=15, R0=lm["R"],
+                              t0=lm["t"], src_mask=sm, tgt_mask=tm)
+        aligned = se3.transform(src, R, t)
+        warped_plain, _ = ndp_mod.fit(jax.random.fold_in(key, 1), aligned,
+                                      tgt, NDP_CFG, data_mask=sm,
+                                      tgt_mask=tm)
+        cd_plain = float(knn_ops.chamfer(warped_plain, tgt, sm, tm,
+                                         sqrt=True))
+        cd_lndp = float(out["chamfer_nonrigid"])
+        cd_rigid = float(knn_ops.chamfer(aligned, tgt, sm, tm, sqrt=True))
+
+        # landmark inlier rate: kept landmarks whose GT-warped source end
+        # lands within the pos radius of the chosen target
+        _, flow_idx = knn_ops.nn_search(lm["ldmk_src"], src)
+        warped_gt = se3.transform(lm["ldmk_src"]
+                                  + pair["s2t_flow"][flow_idx],
+                                  pair["rot"], pair["trans"])
+        d = jnp.linalg.norm(warped_gt - lm["ldmk_tgt"], axis=-1)
+        kept = lm["ldmk_mask"]
+        n_kept = int(jnp.sum(kept))
+        inlier_rate = float(jnp.sum((d < cfg.loss.pos_radius) & kept)
+                            / max(n_kept, 1))
+        rows.append({"chamfer_rigid": cd_rigid, "chamfer_ndp": cd_plain,
+                     "chamfer_lndp": cd_lndp, "n_landmarks": n_kept,
+                     "landmark_inlier_rate": inlier_rate})
+        print(json.dumps({"pair": i, **{k: round(v, 4) if
+                                        isinstance(v, float) else v
+                                        for k, v in rows[-1].items()}}),
+              flush=True)
+
+    cd_n = np.asarray([r["chamfer_ndp"] for r in rows])
+    cd_l = np.asarray([r["chamfer_lndp"] for r in rows])
+    summary = {
+        "n_pairs": len(rows), "train_steps": steps,
+        "mean_chamfer_rigid": round(float(np.mean(
+            [r["chamfer_rigid"] for r in rows])), 5),
+        "mean_chamfer_ndp": round(float(cd_n.mean()), 5),
+        "mean_chamfer_lndp": round(float(cd_l.mean()), 5),
+        "lndp_wins_or_ties": round(float((cd_l <= cd_n + 1e-4).mean()), 4),
+        "mean_landmark_inlier_rate": round(float(np.mean(
+            [r["landmark_inlier_rate"] for r in rows])), 4),
+        "mean_landmarks_kept": round(float(np.mean(
+            [r["n_landmarks"] for r in rows])), 1),
+        "final_match_recall": round(float(hist[-1]["match_recall"]), 4),
+    }
+    os.makedirs(ckpt, exist_ok=True)
+    with open(os.path.join(ckpt, "lndp_eval.json"), "w") as f:
+        json.dump({"summary": summary, "pairs": rows}, f, indent=1)
+    print(json.dumps(summary, indent=1))
+
+
+if __name__ == "__main__":
+    main()

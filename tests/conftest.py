@@ -27,3 +27,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled-program memory after each test module.
+
+    A full one-process run accumulates 150+ jitted XLA programs; on the
+    8-virtual-device CPU backend that pressure ended round 2's suite with a
+    hard segfault inside backend_compile at ~test 143. Dropping the
+    per-module caches keeps the process bounded so one pytest command runs
+    the whole suite.
+    """
+    yield
+    jax.clear_caches()
