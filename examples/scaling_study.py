@@ -13,9 +13,16 @@ asserted by tests/test_scaling.py.
 """
 
 import json
+import os
 import time
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    # sitecustomize presets a TPU platform; the config override must land
+    # before backend init for the CPU-mesh run to actually use the CPU
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from pointcloudregistration_tpu.data import synthetic

@@ -35,16 +35,27 @@ def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1200
     n_eval = int(sys.argv[2]) if len(sys.argv) > 2 else 24
     ckpt = sys.argv[3] if len(sys.argv) > 3 else "artifacts/lepard_real"
-    cfg = lp.LepardTrainConfig()           # 1024-pt pairs, deform 0.08
+    # train IN the low-overlap regime the landmark stage exists for —
+    # same deformation amplitude and coverage dropout as the eval pairs
+    cfg = lp.LepardTrainConfig(deform_amp=0.12, tgt_dropout=0.5,
+                               max_angle_deg=35.0, max_trans=0.35)
 
     t0 = time.perf_counter()
     state, hist = lp.train(jax.random.PRNGKey(0), cfg, steps=steps,
                            log_every=25, ckpt_dir=ckpt, log_dir=ckpt,
                            resume=True)
-    print(f"trained {steps} steps ({time.perf_counter()-t0:.0f}s): "
-          f"loss {hist[-1]['loss']:.3f} "
-          f"match_recall {hist[-1]['match_recall']:.3f} "
-          f"fine_recall {hist[-1].get('fine_recall', -1):.3f}", flush=True)
+    if hist:
+        print(f"trained {steps} steps ({time.perf_counter()-t0:.0f}s): "
+              f"loss {hist[-1]['loss']:.3f} "
+              f"match_recall {hist[-1]['match_recall']:.3f} "
+              f"fine_recall {hist[-1].get('fine_recall', -1):.3f}",
+              flush=True)
+    else:
+        # fully-trained checkpoint restored; read the last logged metrics
+        import pathlib
+        lines = pathlib.Path(ckpt, "lepard.jsonl").read_text().splitlines()
+        hist = [json.loads(lines[-1])] if lines else [{"match_recall": -1.0}]
+        print(f"restored trained checkpoint at step {steps}", flush=True)
 
     # low-overlap deformed eval pairs: heavier dropout + deformation than
     # training (the regime the landmark stage exists for)
@@ -61,7 +72,8 @@ def main():
         key = jax.random.PRNGKey(1000 + i)
 
         out = lp.register_pair_lndp(state, key, src, tgt, sm, tm, cfg,
-                                    ndp_cfg=NDP_CFG)
+                                    ndp_cfg=NDP_CFG, inlier_thr=0.3,
+                                    min_keep=16, fine_k=48, w_ldmk=0.3)
         # plain NDP from the SAME rigid initialization
         lm = out["landmarks"]
         R, t, _ = icp_mod.icp(src, tgt, 0.1, iters=15, R0=lm["R"],
@@ -88,6 +100,9 @@ def main():
                             / max(n_kept, 1))
         rows.append({"chamfer_rigid": cd_rigid, "chamfer_ndp": cd_plain,
                      "chamfer_lndp": cd_lndp, "n_landmarks": n_kept,
+                     "n_matches": int(jnp.sum(lm["match_mask"])),
+                     "median_inlier_conf": float(jnp.median(
+                         lm["inlier_confidence"])),
                      "landmark_inlier_rate": inlier_rate})
         print(json.dumps({"pair": i, **{k: round(v, 4) if
                                         isinstance(v, float) else v

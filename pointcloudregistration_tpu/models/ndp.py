@@ -141,13 +141,14 @@ def _level_loss(params, x, tgt, freq, use_gate, data_mask, tgt_mask, cfg,
     if ldmk_idx is not None:
         # landmark-guided variant (LNDP): squared error on matched pairs
         # (registration.py:210-227 when use_ldmk); ldmk_mask weights out
-        # rejected matches (static shape)
+        # rejected matches (static shape). Bool masks gate 0/1; float masks
+        # act as per-landmark confidence weights (matcher fine-similarity).
         w_l = jnp.sum((jnp.take_along_axis(
             warped, ldmk_idx[..., None], axis=-2) - ldmk_tgt) ** 2, -1)
         if ldmk_mask is not None:
-            w_l = jnp.where(ldmk_mask, w_l, 0.0)
-            loss = loss + w_ldmk * jnp.sum(w_l) / jnp.maximum(
-                jnp.sum(ldmk_mask), 1)
+            lw = ldmk_mask.astype(w_l.dtype)
+            loss = loss + w_ldmk * jnp.sum(lw * w_l) / jnp.maximum(
+                jnp.sum(lw), 1e-6)
         else:
             loss = loss + w_ldmk * jnp.mean(w_l)
     # BCE(gate -> 0): prefer rigidity (registration.py:240-244)

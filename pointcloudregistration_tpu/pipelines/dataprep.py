@@ -45,6 +45,13 @@ class DataPrepConfig(NamedTuple):
     ransac_thresh: float = 0.05
     icp_dist: float = 0.1
     min_correspondences: int = 1000  # acceptance gate (RANSAC.py:113)
+    # symmetric-pose rejection (an improvement over the reference): the
+    # augmentation that generated each sample is known, so a RANSAC GT
+    # that disagrees with the augmentation inverse by more than this many
+    # degrees locked onto a symmetric alignment of the vessel tree and is
+    # rejected. The reference's acceptance-by-correspondence-count
+    # (RANSAC.py:113) cannot catch these. <=0 disables.
+    max_gt_rre_deg: float = 15.0
 
 
 def _normals(pts, mask=None):
@@ -96,6 +103,13 @@ def make_gt_one(key: jax.Array, sample, cfg: DataPrepConfig):
     aligned = se3.transform(src, R, t)
     d2, corr = knn_ops.nn_search(aligned, tgt, ref_mask=tmask)
     corr_ok = d2 < cfg.ransac_thresh ** 2
+    accepted = jnp.sum(corr_ok) >= cfg.min_correspondences
+    # symmetric-pose check against the known augmentation inverse
+    R_true, _ = se3.invert(sample["R_aug"], sample["t_aug"])
+    cos = (jnp.trace(R.T @ R_true) - 1.0) / 2.0
+    gt_rre = jnp.degrees(jnp.arccos(jnp.clip(cos, -1.0, 1.0)))
+    if cfg.max_gt_rre_deg > 0:
+        accepted = accepted & (gt_rre <= cfg.max_gt_rre_deg)
     return {
         "source": src, "target": tgt,
         "src_normals": n_src, "tgt_normals": n_tgt,
@@ -104,7 +118,8 @@ def make_gt_one(key: jax.Array, sample, cfg: DataPrepConfig):
         "inlier_ratio": iinfo["fitness"],
         "correspondence": jnp.where(corr_ok, corr, -1),
         "n_correspondences": jnp.sum(corr_ok),
-        "accepted": jnp.sum(corr_ok) >= cfg.min_correspondences,
+        "gt_rre_vs_known_deg": gt_rre,
+        "accepted": accepted,
     }
 
 

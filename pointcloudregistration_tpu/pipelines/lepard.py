@@ -54,6 +54,7 @@ class LepardTrainConfig(NamedTuple):
     backbone_feats: int = 32
     n_points: int = 1024
     deform_amp: float = 0.08
+    tgt_dropout: float = 0.35
     max_angle_deg: float = 30.0
     max_trans: float = 0.3
     lr: float = 1e-4
@@ -125,6 +126,7 @@ def make_sample(key: jax.Array, cfg: LepardTrainConfig):
     pair = fourdmatch.make_deformed_pair(
         key, fourdmatch.FourDMatchConfig(
             n_points=cfg.n_points, deform_amp=cfg.deform_amp,
+            tgt_dropout=cfg.tgt_dropout,
             max_angle_deg=cfg.max_angle_deg, max_trans=cfg.max_trans))
     src_mask = jnp.ones(pair["s_pc"].shape[:-1], bool)
     return make_sample_arrays(pair["s_pc"], src_mask,
@@ -275,11 +277,13 @@ def train(key: jax.Array, cfg: LepardTrainConfig = LepardTrainConfig(),
     return state, hist
 
 
-@partial(jax.jit, static_argnames=("cfg", "inlier_thr", "fine_k"))
+@partial(jax.jit, static_argnames=("cfg", "inlier_thr", "fine_k",
+                                   "min_keep"))
 def estimate_landmarks(state: LepardTrainState, source: jax.Array,
                        target: jax.Array, source_mask=None, target_mask=None,
                        cfg: LepardTrainConfig = LepardTrainConfig(),
-                       inlier_thr: float = 0.5, fine_k: int = 8):
+                       inlier_thr: float = 0.5, fine_k: int = 8,
+                       min_keep: int = 0):
     """Landmark_Model.inference parity (landmark_estimator.py:46-75):
     forward the matcher, keep matches the outlier-rejection net accepts,
     then refine each accepted coarse match to fine (level-0) resolution:
@@ -298,6 +302,17 @@ def estimate_landmarks(state: LepardTrainState, source: jax.Array,
         pyr_s, pyr_t, train=False)
     keep = (out["match_mask"] & (out["inlier_confidence"] > inlier_thr)
             & out["coarse_src_mask"])
+    if min_keep > 0:
+        # fallback: when the confidence gate keeps fewer than min_keep
+        # landmarks, take the top-min_keep extracted matches by rejection
+        # confidence instead (a landmark budget; quality is reported by the
+        # caller's landmark-inlier-rate metric)
+        conf = jnp.where(out["match_mask"] & out["coarse_src_mask"],
+                         out["inlier_confidence"], -1.0)
+        thresh = -jnp.sort(-conf)[min_keep - 1]
+        topk = conf >= jnp.maximum(thresh, 0.0)
+        keep = jnp.where(jnp.sum(keep) >= min_keep, keep,
+                         topk & out["match_mask"] & out["coarse_src_mask"])
     p0_s, m0_s = pyr_s["points"][0], pyr_s["masks"][0]
     p0_t, m0_t = pyr_t["points"][0], pyr_t["masks"][0]
     # fine refinement in the source cloud: nearest level-0 point
@@ -311,6 +326,7 @@ def estimate_landmarks(state: LepardTrainState, source: jax.Array,
     sim = jnp.einsum("lc,lkc->lk", f_s, f_t,
                      precision=jax.lax.Precision.HIGHEST)
     bestk = jnp.argmax(sim, -1)
+    fine_sim = jnp.take_along_axis(sim, bestk[:, None], -1)[:, 0]
     fine_tgt_idx = jnp.take_along_axis(cand, bestk[:, None], -1)[:, 0]
     ldmk_src = p0_s[src0]
     ldmk_tgt = p0_t[fine_tgt_idx]
@@ -320,6 +336,8 @@ def estimate_landmarks(state: LepardTrainState, source: jax.Array,
             "coarse_ldmk_src": out["ldmk_src"],
             "coarse_ldmk_tgt": out["ldmk_tgt"],
             "ldmk_mask": keep, "src_idx": src_idx,
+            "match_mask": out["match_mask"],
+            "fine_sim": fine_sim,
             "R": out["R"], "t": out["t"],
             "inlier_confidence": out["inlier_confidence"]}
 
@@ -330,24 +348,33 @@ def register_pair_lndp(state: LepardTrainState, key: jax.Array,
                        cfg: LepardTrainConfig = LepardTrainConfig(),
                        ndp_cfg: ndp_mod.NDPConfig | None = None,
                        inlier_thr: float = 0.5, w_ldmk: float = 1.0,
-                       icp_dist: float = 0.1):
+                       icp_dist: float = 0.1, min_keep: int = 0,
+                       fine_k: int = 32):
     """LNDP: landmark estimation -> rigid pre-align -> landmark-guided NDP
     (c2p-net/config/LNDP.yaml flow; registration.py:210-227 landmark loss).
+
+    fine_k: candidate count for the coarse->fine refinement — must be
+    large enough that a coarse voxel's worth of level-0 points is covered
+    (the coarse level is first_voxel*2^3 wide).
     """
     if ndp_cfg is None:
         ndp_cfg = ndp_mod.NDPConfig(m=5, k0=-3, width=64, iters=30,
                                     data_cap=None)
     lm = estimate_landmarks(state, source, target, source_mask, target_mask,
-                            cfg, inlier_thr)
+                            cfg, inlier_thr, min_keep=min_keep,
+                            fine_k=fine_k)
     R, t, _ = icp_mod.icp(source, target, icp_dist, iters=15,
                           R0=lm["R"], t0=lm["t"],
                           src_mask=source_mask, tgt_mask=target_mask)
     aligned = se3.transform(source, R, t)
+    # kept landmarks weighted by fine-similarity confidence: noisy
+    # landmarks contribute proportionally less to the LNDP cost
+    ldmk_w = lm["ldmk_mask"] * jnp.clip(lm["fine_sim"], 0.0, 1.0)
     warped, aux = ndp_mod.fit(key, aligned, target, ndp_cfg,
                               data_mask=source_mask, tgt_mask=target_mask,
                               ldmk_idx=lm["src_idx"],
                               ldmk_tgt=lm["ldmk_tgt"], w_ldmk=w_ldmk,
-                              ldmk_mask=lm["ldmk_mask"])
+                              ldmk_mask=ldmk_w)
     cd = knn_ops.chamfer(warped, target, source_mask, target_mask, sqrt=True)
     return {"R": R, "t": t, "warped": warped, "chamfer_nonrigid": cd,
             "landmarks": lm, "ndp_losses": aux["losses"]}

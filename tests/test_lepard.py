@@ -267,6 +267,29 @@ def test_estimate_landmarks_fine_refinement():
     assert bool(jnp.all(d_fine ** 2 <= d8[:, -1] + 1e-5))
 
 
+def test_estimate_landmarks_min_keep_budget():
+    """min_keep guarantees a landmark budget when the confidence gate
+    starves (the OOD regime): kept landmarks are extracted matches."""
+    from pointcloudregistration_tpu.pipelines import lepard as lp
+    cfg = _train_cfg()
+    state = lp.create_train_state(jax.random.PRNGKey(1), cfg)
+    pair = synthetic.make_pair(jax.random.PRNGKey(2), n_points=256,
+                               max_angle_deg=10.0, max_trans=0.1,
+                               deform_amp=0.03)
+    # random-init net: inlier_thr=0.99 starves the gate
+    lm0 = lp.estimate_landmarks(state, pair["source"], pair["target"],
+                                pair["source_mask"], pair["target_mask"],
+                                cfg, inlier_thr=0.99)
+    lm = lp.estimate_landmarks(state, pair["source"], pair["target"],
+                               pair["source_mask"], pair["target_mask"],
+                               cfg, inlier_thr=0.99, min_keep=8)
+    n_matches = int(jnp.sum(lm["match_mask"]))
+    assert int(jnp.sum(lm["ldmk_mask"])) >= min(
+        8, max(n_matches, int(jnp.sum(lm0["ldmk_mask"]))))
+    # budget never invents landmarks outside the extracted match set
+    assert bool(jnp.all(~lm["ldmk_mask"] | lm["match_mask"]))
+
+
 def test_lepard_lndp_end_to_end():
     """estimate_landmarks + register_pair_lndp run the full LNDP loop."""
     from pointcloudregistration_tpu.pipelines import lepard as lp
