@@ -57,6 +57,30 @@ def svd3(H: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     w = w[..., ::-1]
     V = V[..., ::-1]
     S = jnp.sqrt(jnp.maximum(w, 0.0))
+    # re-orthonormalize V: the closed-form eigenvectors of a near-degenerate
+    # HtH (repeated eigenvalues — tiny/collinear inlier sets) can skew by
+    # 1e-3, and R = V U^T inherits exactly that orthogonality error. A
+    # Gram-Schmidt polish is exact for the well-conditioned case and pins
+    # |R R^T - I| back to f32 roundoff for the degenerate one.
+    v0 = V[..., :, 0]
+    n0v = jnp.linalg.norm(v0, axis=-1, keepdims=True)
+    f0 = jnp.zeros_like(v0).at[..., 0].set(1.0)
+    v0 = jnp.where(n0v > 1e-8, v0 / (n0v + _EPS), f0)
+    v1 = V[..., :, 1]
+    v1 = v1 - jnp.sum(v1 * v0, -1, keepdims=True) * v0
+    n1v = jnp.linalg.norm(v1, axis=-1, keepdims=True)
+    valt = jnp.cross(v0, f0)
+    valtn = jnp.linalg.norm(valt, axis=-1, keepdims=True)
+    f1 = jnp.zeros_like(v0).at[..., 1].set(1.0)
+    valt = jnp.where(valtn > 1e-6, valt / (valtn + _EPS),
+                     jnp.cross(v0, f1) /
+                     (jnp.linalg.norm(jnp.cross(v0, f1), axis=-1,
+                                      keepdims=True) + _EPS))
+    v1 = jnp.where(n1v > 1e-8, v1 / (n1v + _EPS), valt)
+    v2 = jnp.cross(v0, v1)
+    sgn = jnp.sign(jnp.sum(v2 * V[..., :, 2], -1, keepdims=True))
+    v2 = v2 * jnp.where(sgn == 0, 1.0, sgn)
+    V = jnp.stack([v0, v1, v2], -1)
     U_raw = jnp.einsum("...ij,...jk->...ik", H, V, precision=lax.Precision.HIGHEST)   # columns = s_k u_k
     # normalize columns, with orthonormal completion for tiny singular values
     u0 = U_raw[..., :, 0]

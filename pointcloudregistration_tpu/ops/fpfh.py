@@ -53,13 +53,22 @@ def spfh(points: jax.Array, normals: jax.Array, radius: float, k: int = 64,
     """
     d2, idx = _knn.knn(points, points, k, mask, mask) \
         if neighbors is None else neighbors
-    in_r = d2 <= radius * radius
-    if mask is not None:
-        in_r = in_r & mask[..., None]
     pj = gather_points(points, idx)                    # (..., N, K, 3)
     nj = gather_points(normals, idx)
     diff = pj - points[..., :, None, :]
     dist = jnp.linalg.norm(diff, axis=-1)
+    # radius gate from the exact recomputed distances, NOT the kNN d2: the
+    # table may come from a low-precision (bf16) ordering-only search
+    in_r = dist <= radius
+    if mask is not None:
+        # exclude padded neighbors by membership, not by sentinel distance
+        # (the recomputed dist of a padded point can be arbitrary); flatten
+        # the gather so no (N, N) broadcast of the mask materializes
+        K = idx.shape[-1]
+        nbr_valid = jnp.take_along_axis(
+            mask, idx.reshape(idx.shape[:-2] + (-1,)), axis=-1
+        ).reshape(idx.shape[:-2] + (-1, K))
+        in_r = in_r & mask[..., None] & nbr_valid
     self_pair = dist < _EPS                            # exclude self
     w = (in_r & ~self_pair).astype(points.dtype)
     dirn = diff / (dist[..., None] + _EPS)

@@ -32,23 +32,43 @@ _BIG = 1e10
 _SENTINEL = 1e6        # padded points sit far away and never win
 
 
+def _sqnorm(pT):
+    """|p|^2 along the leading 3-axis: (3, K) -> (K,)."""
+    return pT[0] * pT[0] + pT[1] * pT[1] + pT[2] * pT[2]
+
+
+def _cross_mxu(xT, yT):
+    """-2 x.y cross terms on the MXU: (3, TN), (3, TM) -> (TN, TM).
+
+    f32-emulated matmul (Precision.HIGHEST — Mosaic's 6-pass bf16 scheme;
+    HIGH is not implemented on TPU) keeps the expansion
+    |x|^2 - 2x.y + |y|^2 accurate to ~1e-6 absolute for unit-scale clouds:
+    only exact near-ties can flip an argmin, which is harmless for
+    chamfer/ICP, and callers re-derive distances differentiably from the
+    indices anyway (nn_distance below). The MXU does the 6 mul+add per
+    element that previously ran on the VPU (the kernel was VPU-bound at
+    ~0.47 TFLOP/s); the VPU keeps only adds and the min/argmin reductions.
+    """
+    return jax.lax.dot_general(
+        xT, yT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
 def _nnd_kernel(xT_ref, yT_ref, dist_ref, idx_ref, *, tm: int):
     """One query tile (3, TN) vs the whole reference cloud (3, M)."""
     xT = xT_ref[:]                                     # (3, TN)
     tn = xT.shape[1]
     m = yT_ref.shape[1]
     num_m_tiles = m // tm
+    xx = _sqnorm(xT)                                   # (TN,)
 
     def body(j, carry):
         best_d, best_i = carry
         yT = yT_ref[:, pl.ds(j * tm, tm)]              # (3, TM)
-        # exact difference form on the VPU: for K=3 the MXU route needs
-        # 6-pass fp32 emulation to avoid bf16 flipping NN decisions, and the
-        # |x|^2-2xy+|y|^2 expansion cancels catastrophically anyway
-        dx = xT[0, :][:, None] - yT[0, :][None, :]     # (TN, TM)
-        dy = xT[1, :][:, None] - yT[1, :][None, :]
-        dz = xT[2, :][:, None] - yT[2, :][None, :]
-        d = dx * dx + dy * dy + dz * dz
+        cross = _cross_mxu(xT, yT)                     # (TN, TM)
+        yy = _sqnorm(yT)
+        d = (xx[:, None] - 2.0 * cross) + yy[None, :]
         dmin = jnp.min(d, axis=1)
         imin = jnp.argmin(d, axis=1).astype(jnp.int32) + j * tm
         take = dmin < best_d
@@ -121,6 +141,7 @@ def _bidir_kernel(xT_ref, yT_ref, d1_ref, i1_ref, d2_ref, i2_ref,
     tn = xT.shape[1]
     m = yT_ref.shape[1]
     num_m_tiles = m // tm
+    xx = _sqnorm(xT)                                   # (TN,)
 
     @pl.when(i == 0)
     def _init():
@@ -130,10 +151,9 @@ def _bidir_kernel(xT_ref, yT_ref, d1_ref, i1_ref, d2_ref, i2_ref,
     def body(j, carry):
         best_d, best_i = carry
         yT = yT_ref[:, pl.ds(j * tm, tm)]              # (3, TM)
-        dx = xT[0, :][:, None] - yT[0, :][None, :]     # (TN, TM)
-        dy = xT[1, :][:, None] - yT[1, :][None, :]
-        dz = xT[2, :][:, None] - yT[2, :][None, :]
-        d = dx * dx + dy * dy + dz * dz
+        cross = _cross_mxu(xT, yT)                     # (TN, TM)
+        yy = _sqnorm(yT)
+        d = (xx[:, None] - 2.0 * cross) + yy[None, :]
         # x-side row mins (register carry)
         dmin = jnp.min(d, axis=1)
         imin = jnp.argmin(d, axis=1).astype(jnp.int32) + j * tm

@@ -44,8 +44,12 @@ class C2PConfig(NamedTuple):
     icp_iters: int = 25
     mutual: bool = True
     run_ndp: bool = True
+    # iters=15: the bench-workload sweep (PERF.md) shows the last 15 Adam
+    # steps per level buy nothing — chamfer 0.0277 at iters=15 vs 0.0282 at
+    # iters=30 — while costing ~10 ms/pair; the no-harm guard in
+    # register_pair bounds any per-pair regression at the rigid result
     ndp: ndp_mod.NDPConfig = ndp_mod.NDPConfig(
-        m=7, k0=-4, depth=3, width=64, iters=30, lr=0.01,
+        m=7, k0=-4, depth=3, width=64, iters=15, lr=0.01,
         w_reg=0.005, trunc=0.1, data_cap=1024)
 
 
@@ -54,7 +58,10 @@ def _features(points, mask, cfg: C2PConfig):
     # top_k output is distance-sorted) and the FPFH neighborhoods
     k = max(cfg.fpfh_k, cfg.normal_k)
     # approx top-k is fine for neighborhood features (a stray 33rd-nearest
-    # neighbor doesn't move a 33-bin histogram) and much faster on TPU
+    # neighbor doesn't move a 33-bin histogram) and much faster on TPU.
+    # (measured dead end: a bf16 distance matrix halves HBM traffic but its
+    # ~4e-3 absolute quantization scrambles the neighbor ordering — RANSAC
+    # fitness drops 0.11 -> 0.09 — and the extra converts made it SLOWER)
     d2, nidx = knn_ops.knn(points, points, k, mask, mask, approx=True)
     normals = estimate_normals(points, nidx[..., :cfg.normal_k])
     return fpfh_mod.fpfh(points, normals, cfg.fpfh_radius, cfg.fpfh_k, mask,
