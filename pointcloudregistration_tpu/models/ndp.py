@@ -73,6 +73,13 @@ class NDPConfig(NamedTuple):
     # the full cloud (the LNDP landmark path requires this: landmark indices
     # address the full cloud).
     data_cap: int | None = None
+    # Fixed-capacity TARGET subset for the data term — the y-side twin of
+    # data_cap. The truncated-Chamfer target is a distribution sample, not
+    # an index space (nothing downstream addresses tgt rows), so capping it
+    # only subsamples the data term's reference surface. Measured on the
+    # bench workload: tgt_cap=1024 cuts the per-step NND scan by 2/3 with
+    # chamfer unchanged (0.0270 vs 0.0274 full; PERF.md). None = full tgt.
+    tgt_cap: int | None = None
 
 
 def _level_freq(cfg: NDPConfig, level: jax.Array) -> jax.Array:
@@ -195,6 +202,19 @@ def fit(key: jax.Array, src: jax.Array, tgt: jax.Array,
         sub_mask = jnp.take_along_axis(data_mask, sel, axis=-1)
     else:
         x_data, sub_mask = src, data_mask
+
+    # target-side subset (see NDPConfig.tgt_cap): the data term measures
+    # distance to a SAMPLE of the target surface; the final warp and any
+    # caller-side chamfer still see the full clouds
+    if cfg.tgt_cap is not None and cfg.tgt_cap < tgt.shape[-2]:
+        key, k_tsel = jax.random.split(key)
+        t_valid = (jnp.ones(tgt.shape[:-1], bool) if tgt_mask is None
+                   else tgt_mask)
+        t_score = t_valid.astype(jnp.float32) \
+            + jax.random.uniform(k_tsel, t_valid.shape, maxval=0.5)
+        _, t_sel = jax.lax.top_k(t_score, cfg.tgt_cap)
+        tgt = jnp.take_along_axis(tgt, t_sel[..., None], axis=-2)
+        tgt_mask = jnp.take_along_axis(t_valid, t_sel, axis=-1)
 
     def run_level(x, inputs):
         params, level = inputs

@@ -50,7 +50,7 @@ class C2PConfig(NamedTuple):
     # register_pair bounds any per-pair regression at the rigid result
     ndp: ndp_mod.NDPConfig = ndp_mod.NDPConfig(
         m=7, k0=-4, depth=3, width=64, iters=15, lr=0.01,
-        w_reg=0.005, trunc=0.1, data_cap=1024)
+        w_reg=0.005, trunc=0.1, data_cap=1024, tgt_cap=1024)
 
 
 def _features(points, mask, cfg: C2PConfig):

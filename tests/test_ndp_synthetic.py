@@ -85,3 +85,20 @@ def test_ndp_batched():
                                 tgt_mask=batch["target_mask"])
     assert warped.shape == (2, 400, 3)
     assert bool(jnp.isfinite(warped).all())
+
+
+def test_ndp_tgt_cap_matches_full_target():
+    # the y-side data-term subset (NDPConfig.tgt_cap) must not change the
+    # registration outcome materially: same deformed pair, capped vs full
+    key = jax.random.PRNGKey(12)
+    views = synthetic.modality_views(key, 1000, deform_amp=0.08)
+    src, tgt = views["tof"], views["pc"]
+    tm = views["pc_mask"]
+    before = float(knn_ops.chamfer(src, tgt, y_mask=tm))
+    w_full, _ = ndp.fit(jax.random.PRNGKey(13), src, tgt, _TINY, tgt_mask=tm)
+    w_cap, _ = ndp.fit(jax.random.PRNGKey(13), src, tgt,
+                       _TINY._replace(tgt_cap=384), tgt_mask=tm)
+    cd_full = float(knn_ops.chamfer(w_full, tgt, y_mask=tm))
+    cd_cap = float(knn_ops.chamfer(w_cap, tgt, y_mask=tm))
+    assert cd_cap < before * 0.7, (before, cd_cap)
+    assert cd_cap < cd_full * 1.5, (cd_full, cd_cap)
