@@ -160,6 +160,13 @@ def cmd_lepard_train(args):
 
 
 def cmd_fourdmatch(args):
+    if args.multiview:
+        from pointcloudregistration_tpu.data import multiview
+        paths = multiview.generate_multiview(
+            _key(args.seed), args.out, args.multiview,
+            multiview.MultiviewConfig(n_points=args.points))
+        print(json.dumps({"out": args.out, "scenes": len(paths)}))
+        return
     from pointcloudregistration_tpu.data import fourdmatch
     counts = fourdmatch.generate_fourdmatch(
         _key(args.seed), args.out, args.pairs,
@@ -253,6 +260,9 @@ def main(argv=None):
     fd.add_argument("--pairs", type=int, default=64)
     fd.add_argument("--points", type=int, default=1024)
     fd.add_argument("--seed", type=int, default=0)
+    fd.add_argument("--multiview", type=int, default=0, metavar="N_SCENES",
+                    help="generate N multiview scenes "
+                         "(_4dmatch_multiview.py contract) instead")
     fd.set_defaults(fn=cmd_fourdmatch)
 
     c = sub.add_parser("c2p", help="run the C2P registration pipeline")

@@ -57,18 +57,12 @@ def spfh(points: jax.Array, normals: jax.Array, radius: float, k: int = 64,
     nj = gather_points(normals, idx)
     diff = pj - points[..., :, None, :]
     dist = jnp.linalg.norm(diff, axis=-1)
-    # radius gate from the exact recomputed distances, NOT the kNN d2: the
-    # table may come from a low-precision (bf16) ordering-only search
-    in_r = dist <= radius
+    # radius gate from the exact recomputed distances; the kNN d2 (whatever
+    # its precision) still flags padded neighbors via the 1e10 sentinel the
+    # search planted, which is far cheaper than a membership gather
+    in_r = (dist <= radius) & (d2 < 1e9)
     if mask is not None:
-        # exclude padded neighbors by membership, not by sentinel distance
-        # (the recomputed dist of a padded point can be arbitrary); flatten
-        # the gather so no (N, N) broadcast of the mask materializes
-        K = idx.shape[-1]
-        nbr_valid = jnp.take_along_axis(
-            mask, idx.reshape(idx.shape[:-2] + (-1,)), axis=-1
-        ).reshape(idx.shape[:-2] + (-1, K))
-        in_r = in_r & mask[..., None] & nbr_valid
+        in_r = in_r & mask[..., None]
     self_pair = dist < _EPS                            # exclude self
     w = (in_r & ~self_pair).astype(points.dtype)
     dirn = diff / (dist[..., None] + _EPS)
