@@ -17,19 +17,24 @@ from pointcloudregistration_tpu.core.eig3 import eigh3, smallest_eigvec3
 _EPS = 1e-8
 
 
-def square_dists(a: jax.Array, b: jax.Array) -> jax.Array:
+def square_dists(a: jax.Array, b: jax.Array,
+                 precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """Pairwise squared distances: (..., N, 3) x (..., M, 3) -> (..., N, M).
 
     Uses the |a|^2 - 2ab + |b|^2 expansion so the cross term rides the MXU,
     clamped at zero (the reference clamps at 1e-7 to dodge sqrt-NaNs;
     ROPNet/src/utils/process.py:14-30).
+
+    precision: HIGHEST (6-pass f32 emulation) by default. A single bf16
+    MXU pass (DEFAULT) injects ~1e-2 absolute error on unit clouds — large
+    enough to flip NN decisions (measured: RANSAC fitness 0.11 -> 0.085) —
+    but HIGH (3-pass, ~2e-6 relative) is safe for *ordering-only* consumers
+    like approximate-neighborhood features and descriptor matching, at half
+    the MXU passes.
     """
     a2 = jnp.sum(a * a, -1, keepdims=True)          # (..., N, 1)
     b2 = jnp.sum(b * b, -1, keepdims=True)          # (..., M, 1)
-    # fp32 cross terms: a single bf16 MXU pass injects ~1e-2 absolute error
-    # on unit clouds, large enough to flip nearest-neighbor decisions
-    cross = jnp.einsum("...nc,...mc->...nm", a, b,
-                       precision=jax.lax.Precision.HIGHEST)
+    cross = jnp.einsum("...nc,...mc->...nm", a, b, precision=precision)
     d = a2 - 2.0 * cross + jnp.swapaxes(b2, -1, -2)
     return jnp.maximum(d, 0.0)
 

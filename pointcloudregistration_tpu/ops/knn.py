@@ -23,7 +23,8 @@ from pointcloudregistration_tpu.core.geometry import square_dists
 _BIG = 1e10
 
 
-def _blocked_min(query: jax.Array, ref: jax.Array, ref_mask, block: int):
+def _blocked_min(query: jax.Array, ref: jax.Array, ref_mask, block: int,
+                 precision=jax.lax.Precision.HIGHEST):
     """Per-query (min_sqdist, argmin) over ref, scanning ref in blocks."""
     M = ref.shape[-2]
     nblocks = max(1, -(-M // block))
@@ -40,7 +41,7 @@ def _blocked_min(query: jax.Array, ref: jax.Array, ref_mask, block: int):
     def body(carry, j):
         best_d, best_i = carry
         rb = jax.lax.dynamic_slice_in_dim(refp, j * block, block, axis=-2)
-        d = square_dists(query, rb)                       # (..., N, block)
+        d = square_dists(query, rb, precision)            # (..., N, block)
         if maskp is not None:
             mb = jax.lax.dynamic_slice_in_dim(maskp, j * block, block, axis=-1)
             d = jnp.where(mb[..., None, :], d, _BIG)
@@ -56,17 +57,18 @@ def _blocked_min(query: jax.Array, ref: jax.Array, ref_mask, block: int):
     return d, i.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("block",))
+@partial(jax.jit, static_argnames=("block", "precision"))
 def nn_search(query: jax.Array, ref: jax.Array,
               query_mask: jax.Array | None = None,
               ref_mask: jax.Array | None = None,
-              block: int = 2048):
+              block: int = 2048,
+              precision=jax.lax.Precision.HIGHEST):
     """1-NN: (..., N, 3), (..., M, 3) -> (sqdist (..., N), idx (..., N)).
 
     Masked (padded) ref points never win; masked query rows get dist 0/idx 0.
     (reference semantics: dip/torch-nndistance/src/my_lib.cpp:3-27 nnsearch)
     """
-    d, i = _blocked_min(query, ref, ref_mask, block)
+    d, i = _blocked_min(query, ref, ref_mask, block, precision)
     if query_mask is not None:
         d = jnp.where(query_mask, d, 0.0)
         i = jnp.where(query_mask, i, 0)
@@ -125,10 +127,11 @@ def truncated_chamfer(x: jax.Array, y: jax.Array, trunc: float,
     return c1 + c2
 
 
-@partial(jax.jit, static_argnames=("k", "block", "approx"))
+@partial(jax.jit, static_argnames=("k", "block", "approx", "precision"))
 def knn(query: jax.Array, ref: jax.Array, k: int,
         query_mask=None, ref_mask=None, block: int = 4096,
-        approx: bool = False):
+        approx: bool = False,
+        precision=jax.lax.Precision.HIGHEST):
     """K nearest neighbors: returns (sqdists (..., N, k), idx (..., N, k)).
 
     Blocked merge: scan ref blocks, keep a running top-k via lax.top_k on the
@@ -142,7 +145,7 @@ def knn(query: jax.Array, ref: jax.Array, k: int,
     """
     M = ref.shape[-2]
     if M <= block:
-        d = square_dists(query, ref)
+        d = square_dists(query, ref, precision)
         if ref_mask is not None:
             d = jnp.where(ref_mask[..., None, :], d, _BIG)
         if approx:
@@ -164,7 +167,7 @@ def knn(query: jax.Array, ref: jax.Array, k: int,
     def body(carry, j):
         best_d, best_i = carry                       # (..., N, k)
         rb = jax.lax.dynamic_slice_in_dim(refp, j * block, block, axis=-2)
-        d = square_dists(query, rb)
+        d = square_dists(query, rb, precision)
         if maskp is not None:
             mb = jax.lax.dynamic_slice_in_dim(maskp, j * block, block, axis=-1)
             d = jnp.where(mb[..., None, :], d, _BIG)

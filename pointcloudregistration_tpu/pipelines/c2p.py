@@ -59,10 +59,13 @@ def _features(points, mask, cfg: C2PConfig):
     k = max(cfg.fpfh_k, cfg.normal_k)
     # approx top-k is fine for neighborhood features (a stray 33rd-nearest
     # neighbor doesn't move a 33-bin histogram) and much faster on TPU.
-    # (measured dead end: a bf16 distance matrix halves HBM traffic but its
-    # ~4e-3 absolute quantization scrambles the neighbor ordering — RANSAC
-    # fitness drops 0.11 -> 0.09 — and the extra converts made it SLOWER)
-    d2, nidx = knn_ops.knn(points, points, k, mask, mask, approx=True)
+    # Precision.HIGH (3-pass, ~2e-6 relative) halves the MXU passes of the
+    # distance matrix; only the ordering is consumed (spfh recomputes exact
+    # distances). (measured dead end: bf16 — ~4e-3 quantization scrambles
+    # the ordering, RANSAC fitness 0.11 -> 0.09, and the converts made it
+    # SLOWER.)
+    d2, nidx = knn_ops.knn(points, points, k, mask, mask, approx=True,
+                           precision=jax.lax.Precision.HIGH)
     normals = estimate_normals(points, nidx[..., :cfg.normal_k])
     return fpfh_mod.fpfh(points, normals, cfg.fpfh_radius, cfg.fpfh_k, mask,
                          neighbors=(d2[..., :cfg.fpfh_k],
