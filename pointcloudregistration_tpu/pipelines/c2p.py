@@ -24,6 +24,7 @@ from pointcloudregistration_tpu.core import se3
 from pointcloudregistration_tpu.core.geometry import estimate_normals
 from pointcloudregistration_tpu.models import ndp as ndp_mod
 from pointcloudregistration_tpu.ops import fpfh as fpfh_mod
+from pointcloudregistration_tpu.ops import fpfh_pallas
 from pointcloudregistration_tpu.ops import icp as icp_mod
 from pointcloudregistration_tpu.ops import knn as knn_ops
 from pointcloudregistration_tpu.ops import ransac as ransac_mod
@@ -33,6 +34,11 @@ class C2PConfig(NamedTuple):
     fpfh_radius: float = 0.4
     fpfh_k: int = 32
     normal_k: int = 16
+    # fused dense-radius FPFH (ops/fpfh_pallas.py) — the Open3D-style
+    # radius semantics (RANSAC.py:12-22, normal radius = 4/7 of feature
+    # radius); the gather path above is the CPU/test fallback
+    normal_radius: float = 0.23
+    fused_fpfh: bool = True
     ransac_thresh: float = 0.05      # ~ first_subsampling_dl mapping,
                                      # testScript.py:112-119
     # FPFH mutual matches run ~6% inliers; 32k hypotheses give P(>=1
@@ -54,6 +60,12 @@ class C2PConfig(NamedTuple):
 
 
 def _features(points, mask, cfg: C2PConfig):
+    if cfg.fused_fpfh and jax.default_backend() == "tpu":
+        # fused Pallas path: dense tiled radius neighborhoods, gather-free
+        # (12.4 -> ~3.3 ms/pair at bench shapes, PERF.md r04)
+        f, _ = fpfh_pallas.fpfh_dense(points, cfg.normal_radius,
+                                      cfg.fpfh_radius, mask)
+        return f
     # one k-NN table serves both normal estimation (nearest normal_k of it —
     # top_k output is distance-sorted) and the FPFH neighborhoods
     k = max(cfg.fpfh_k, cfg.normal_k)
