@@ -33,7 +33,11 @@ _OBJ = ("/root/reference/DataPreparation/OriginalData/"
 N_POINTS = 2048
 
 
-def ensure_dataset(path: str, n_total: int = 128, chunk: int = 16) -> str:
+def ensure_dataset(path: str, n_total: int = 1280, chunk: int = 16) -> str:
+    """Generate the real-phantom corpus (v2: 10x the r03 size, with the
+    symmetric-GT gate max_gt_rre_deg=15 active — VERDICT r03 item 2; the
+    r03 pickle was generated BEFORE the gate landed and kept 164-degree
+    symmetric-flip GT rows)."""
     if os.path.exists(path):
         return path
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -69,12 +73,36 @@ def load_split(path: str, split: str, cfg: ng.NgeNetTrainConfig, limit=None):
     return ng.stack_samples(rows), n
 
 
+def load_split_raw(path: str, split: str, cfg: ng.NgeNetTrainConfig,
+                   limit=None):
+    """Raw padded clouds + GT for the rotation-augmented train step
+    (pyramids are rebuilt in-step after the random rotation)."""
+    from pointcloudregistration_tpu.data.mri import NgeNetPairs
+    ds = NgeNetPairs(path, split, max_points=cfg.n_points)
+    n = len(ds) if limit is None else min(limit, len(ds))
+    src, sm, tgt, tm, Rs, ts = [], [], [], [], [], []
+    for i in range(n):
+        it = ds[i]
+        s, m1 = ng._pad_cloud(it["src_points"], cfg.n_points)
+        t, m2 = ng._pad_cloud(it["tgt_points"], cfg.n_points)
+        T = np.asarray(it["transf"], np.float32)
+        src.append(s); sm.append(m1); tgt.append(t); tm.append(m2)
+        Rs.append(T[:3, :3]); ts.append(T[:3, 3])
+    raw = {"src": jnp.asarray(np.stack(src)),
+           "src_mask": jnp.asarray(np.stack(sm)),
+           "tgt": jnp.asarray(np.stack(tgt)),
+           "tgt_mask": jnp.asarray(np.stack(tm)),
+           "R_gt": jnp.asarray(np.stack(Rs)),
+           "t_gt": jnp.asarray(np.stack(ts))}
+    return raw, n
+
+
 def main():
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    ckpt_dir = sys.argv[3] if len(sys.argv) > 3 else "artifacts/ngenet_real"
+    ckpt_dir = sys.argv[3] if len(sys.argv) > 3 else "artifacts/ngenet_real_v2"
     pkl = sys.argv[4] if len(sys.argv) > 4 else \
-        "artifacts/data/RANSACTraincropped_real.pickle"
+        "artifacts/data/RANSACTraincropped_real_v2.pickle"
     ensure_dataset(pkl)
 
     cfg = ng.NgeNetTrainConfig(n_points=N_POINTS)
@@ -92,14 +120,17 @@ def main():
     print(f"calibrated neighbor caps: {cfg.pyramid.neighbor_caps}",
           flush=True)
 
-    train_data, n_train = load_split(pkl, "train", cfg)
-    val_data, n_val = load_split(pkl, "val", cfg, limit=16)
+    train_raw, n_train = load_split_raw(pkl, "train", cfg)
+    val_data, n_val = load_split(pkl, "val", cfg, limit=24)
     print(f"train {n_train} pairs, val {n_val} pairs", flush=True)
 
     key = jax.random.PRNGKey(42)
     state = ng.create_train_state(
         jax.random.fold_in(key, 0), cfg,
-        ng.gather_samples(train_data, jnp.zeros((), jnp.int32)))
+        ng.make_sample_arrays(train_raw["src"][0], train_raw["src_mask"][0],
+                              train_raw["tgt"][0], train_raw["tgt_mask"][0],
+                              train_raw["R_gt"][0], train_raw["t_gt"][0],
+                              cfg))
     hooks = TrainHooks(ckpt_dir, ckpt_dir, "ngenet_real", save_every=250)
     state, start = hooks.restore(state)
 
@@ -117,10 +148,10 @@ def main():
     t0 = time.perf_counter()
     for step in range(start, steps):
         idx = jnp.asarray(rng.choice(n_train, size=B, replace=B > n_train))
-        batch = ng.gather_samples(train_data, idx)
+        batch = ng.gather_samples(train_raw, idx)
         kl = jax.random.split(jax.random.fold_in(key, step + 2), B)
-        state, m = ng.batched_train_step(state, kl, batch,
-                                         jnp.asarray(w_sal), cfg)
+        state, m = ng.batched_train_step_augmented(state, kl, batch,
+                                                   jnp.asarray(w_sal), cfg)
         if step % 25 == 0 or step == steps - 1 or (step + 1) % 250 == 0:
             mf = {k: float(v) for k, v in m.items()}
             if mf["recall"] > cfg.saliency_recall_gate:

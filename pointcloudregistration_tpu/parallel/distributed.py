@@ -48,3 +48,57 @@ def local_pair_range(total_pairs: int) -> tuple[int, int]:
     per = -(-total_pairs // pc)
     start = pid * per
     return start, min(start + per, total_pairs)
+
+
+def global_from_local(mesh: Mesh, local, axis_name: str = PAIRS_AXIS):
+    """Assemble a global pair-sharded jax.Array from this process's
+    contiguous local slice (the multi-host input contract).
+
+    Every process passes its own `local_pair_range` slice; the result is a
+    global array sharded P(pairs) over the mesh. Works single-process too
+    (local == global). Host-major device order in `global_mesh` guarantees
+    each process's shards are exactly its contiguous slice.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sharding = NamedSharding(mesh, P(axis_name))
+    if jax.process_count() == 1:
+        return jax.device_put(local, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(local))
+
+
+def register_batch_multihost(mesh: Mesh, key: jax.Array,
+                             source_local, target_local,
+                             source_mask_local=None, target_mask_local=None,
+                             cfg=None, total_pairs: int | None = None):
+    """Data-parallel registration across processes (the DCN pair axis).
+
+    Each process supplies ONLY its `local_pair_range(total_pairs)` slice of
+    the pair set; pairs shard over the mesh's `pairs` axis (spanning DCN),
+    and the compiled step contains zero cross-pair collectives
+    (tests/test_scaling.py), so the only multi-host cost is dispatch.
+
+    `key` must be identical on every process (per-pair keys are derived
+    from the global pair index, so results are process-count invariant).
+    Returns the global output pytree; read this host's rows via
+    `out.addressable_shards` or `local_pair_range`.
+    """
+    import jax.numpy as jnp
+    from pointcloudregistration_tpu.parallel.pipeline import (
+        make_register_batch_sharded)
+    B_local = source_local.shape[0]
+    if total_pairs is None:
+        total_pairs = B_local * jax.process_count()
+    if source_mask_local is None:
+        source_mask_local = np.ones(source_local.shape[:-1], bool)
+    if target_mask_local is None:
+        target_mask_local = np.ones(target_local.shape[:-1], bool)
+    keys = jax.random.split(key, total_pairs)
+    key_impl = "threefry2x32"
+    if jnp.issubdtype(keys.dtype, jax.dtypes.prng_key):
+        key_impl = str(jax.random.key_impl(keys))
+        keys = jax.random.key_data(keys)
+    lo, hi = local_pair_range(total_pairs)
+    args = tuple(global_from_local(mesh, a) for a in (
+        np.asarray(keys)[lo:hi], source_local, target_local,
+        source_mask_local, target_mask_local))
+    return make_register_batch_sharded(mesh, cfg, key_impl)(*args)

@@ -29,6 +29,7 @@ from pointcloudregistration_tpu.data import augment, synthetic
 from pointcloudregistration_tpu.metrics.registration import (chamfer_metric,
                                                              hausdorff)
 from pointcloudregistration_tpu.ops import fpfh as fpfh_mod
+from pointcloudregistration_tpu.ops import fpfh_pallas
 from pointcloudregistration_tpu.ops import icp as icp_mod
 from pointcloudregistration_tpu.ops import knn as knn_ops
 from pointcloudregistration_tpu.ops import ransac as ransac_mod
@@ -89,10 +90,17 @@ def make_gt_one(key: jax.Array, sample, cfg: DataPrepConfig):
     (RANSAC.py:66-132)."""
     src, tgt = sample["source"], sample["target"]
     tmask = sample["target_mask"]
-    n_src = _normals(src)
-    n_tgt = _normals(tgt, tmask)
-    f_src = fpfh_mod.fpfh(src, n_src, radius=0.4, k=32)
-    f_tgt = fpfh_mod.fpfh(tgt, n_tgt, radius=0.4, k=32, mask=tmask)
+    if jax.default_backend() == "tpu":
+        # fused dense-radius FPFH (ops/fpfh_pallas.py): ~6x the mutual-match
+        # inlier fitness of the K-capped features (PERF.md r04), which
+        # directly tightens the GT acceptance gate below
+        f_src, n_src = fpfh_pallas.fpfh_dense(src, 0.23, 0.4)
+        f_tgt, n_tgt = fpfh_pallas.fpfh_dense(tgt, 0.23, 0.4, mask=tmask)
+    else:
+        n_src = _normals(src)
+        n_tgt = _normals(tgt, tmask)
+        f_src = fpfh_mod.fpfh(src, n_src, radius=0.4, k=32)
+        f_tgt = fpfh_mod.fpfh(tgt, n_tgt, radius=0.4, k=32, mask=tmask)
     R0, t0, rinfo = ransac_mod.ransac_feature_matching(
         key, src, tgt, f_src, f_tgt, threshold=cfg.ransac_thresh,
         num_hypotheses=8192, mutual=True, tgt_mask=tmask)

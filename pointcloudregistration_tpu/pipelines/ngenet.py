@@ -78,6 +78,59 @@ def make_sample_arrays(source, source_mask, target, target_mask,
             "R_gt": R_gt, "t_gt": t_gt}
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def make_sample_arrays_augmented(key, source, source_mask, target,
+                                 target_mask, R_gt, t_gt,
+                                 cfg: NgeNetTrainConfig):
+    """Rotation-augmented on-device collate for raw padded clouds.
+
+    Applies independent uniform SO(3) rotations to both clouds and rebuilds
+    the pyramids (voxel subsampling is NOT rotation-equivariant, so the
+    pyramid must be recomputed after rotating — the augmentation the r03
+    corpus overfit for lack of). GT composes as
+        tgt' = Rb tgt,  src' = Ra src  =>  R' = Rb R Ra^T, t' = Rb t.
+    The reference applies random disorientation per draw in the dataset
+    compose step (ROPNet/src/data/MRI.py:51-78); this is the NgeNet-side
+    equivalent at train time.
+    """
+    ka, kb = jax.random.split(key)
+    Ra = se3.random_uniform_rotation(ka)
+    Rb = se3.random_uniform_rotation(kb)
+    prec = jax.lax.Precision.HIGHEST
+    src = jnp.einsum("ij,nj->ni", Ra, source, precision=prec)
+    tgt = jnp.einsum("ij,nj->ni", Rb, target, precision=prec)
+    R_new = jnp.einsum("ij,jk,lk->il", Rb, R_gt, Ra, precision=prec)
+    t_new = jnp.einsum("ij,j->i", Rb, t_gt, precision=prec)
+    return make_sample_arrays(src, source_mask, tgt, target_mask,
+                              R_new, t_new, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def batched_train_step_augmented(state: NgeNetTrainState, keys, raw_batch,
+                                 w_saliency, cfg: NgeNetTrainConfig):
+    """batched_train_step over RAW padded clouds with per-step rotation
+    augmentation + in-step pyramid rebuild (one jitted program).
+
+    raw_batch: dict(src (B,N,3), src_mask (B,N), tgt, tgt_mask,
+    R_gt (B,3,3), t_gt (B,3))."""
+    def one(k, src, sm, tgt, tm, R, t):
+        k_aug, k_loss = jax.random.split(k)
+        sample = make_sample_arrays_augmented(k_aug, src, sm, tgt, tm,
+                                              R, t, cfg)
+        (loss, (bs, parts)), grads = _loss_and_grads(state, k_loss, sample,
+                                                     w_saliency, cfg)
+        return loss, bs, parts, grads
+
+    loss, bs, parts, grads = jax.vmap(one)(
+        keys, raw_batch["src"], raw_batch["src_mask"],
+        raw_batch["tgt"], raw_batch["tgt_mask"],
+        raw_batch["R_gt"], raw_batch["t_gt"])
+    mean = lambda t: jax.tree.map(lambda x: jnp.mean(x, 0), t)
+    state = state.apply_gradients(grads=mean(grads)).replace(
+        batch_stats=mean(bs))
+    return state, {"loss": jnp.mean(loss), **mean(parts)}
+
+
 def _pad_cloud(pts, n: int):
     """Host-side fixed-shape pad: (m, 3) -> ((n, 3), (n,) mask)."""
     import numpy as np

@@ -14,6 +14,7 @@ from pointcloudregistration_tpu.models.ndp import NDPConfig
 from pointcloudregistration_tpu.models.pointnet_qc import PointNetQC
 from pointcloudregistration_tpu.pipelines import dataprep
 from pointcloudregistration_tpu.pipelines.c2p import C2PConfig
+import pytest
 
 
 def test_config_yaml_roundtrip(tmp_path):
@@ -58,6 +59,7 @@ def test_timers_and_sync():
     assert isinstance(t.report(), str)
 
 
+@pytest.mark.slow
 def test_metric_logger(tmp_path):
     lg = MetricLogger(str(tmp_path), "test")
     lg.log(0, loss=1.5)
@@ -67,6 +69,7 @@ def test_metric_logger(tmp_path):
     assert len(lines) == 2
 
 
+@pytest.mark.slow
 def test_pointnet_qc_forward_and_learns():
     model = PointNetQC()
     rng = np.random.default_rng(0)
@@ -102,6 +105,7 @@ def test_pointnet_qc_forward_and_learns():
     assert losses[-1] < losses[0] * 0.5
 
 
+@pytest.mark.slow
 def test_dataprep_generation(tmp_path):
     cfg = dataprep.DataPrepConfig(n_points=400, n_augment=4,
                                   min_correspondences=50)

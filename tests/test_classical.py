@@ -8,6 +8,7 @@ from pointcloudregistration_tpu.ops import icp, ransac, fpfh, cpd
 from pointcloudregistration_tpu.ops import knn as knn_ops
 from pointcloudregistration_tpu import metrics
 from pointcloudregistration_tpu.core.geometry import estimate_normals
+import pytest
 
 
 def _shape_cloud(n=800, seed=0):
@@ -76,6 +77,7 @@ def test_fpfh_rotation_invariance():
     assert err < 0.05, err
 
 
+@pytest.mark.slow
 def test_fpfh_ransac_global_registration():
     """The DataPreparation headline flow: FPFH + RANSAC + ICP refine."""
     pts = _shape_cloud(700, seed=7)

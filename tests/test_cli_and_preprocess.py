@@ -5,8 +5,10 @@ import jax.numpy as jnp
 
 from pointcloudregistration_tpu.data import loaders, mri
 from pointcloudregistration_tpu.pipelines import dataprep, dip
+import pytest
 
 
+@pytest.mark.slow
 def test_dataprep_pickle_export(tmp_path):
     cfg = dataprep.DataPrepConfig(n_points=256, n_augment=4,
                                   min_correspondences=10)
@@ -60,6 +62,7 @@ def test_dip_preprocess_dataset(tmp_path):
         assert z["patches2"].shape == (2, 8, 32, 3)
 
 
+@pytest.mark.slow
 def test_cli_c2p_and_dataprep(tmp_path, capsys):
     from pointcloudregistration_tpu.__main__ import main
     main(["c2p", "--pairs", "2", "--points", "256"])

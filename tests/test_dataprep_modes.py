@@ -5,8 +5,10 @@ import numpy as np
 
 from pointcloudregistration_tpu.data import mri
 from pointcloudregistration_tpu.pipelines import dataprep
+import pytest
 
 
+@pytest.mark.slow
 def test_train_pointnet_qc_and_filter():
     """The QC classifier trains (loss drops, accuracy climbs) and its state
     drives the dataprep confidence filter (run.py:233-243)."""
@@ -24,6 +26,7 @@ def test_train_pointnet_qc_and_filter():
     assert record["qc_keep"].dtype == bool
 
 
+@pytest.mark.slow
 def test_cpd_gt_feeds_all_mri_methods(tmp_path):
     """Every data/mri.py METHOD loads from a self-generated pickle — the
     RigidCPD/AffineCPD/NonRigidCPD stems were declared-but-unfed in round 1

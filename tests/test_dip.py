@@ -8,6 +8,7 @@ from pointcloudregistration_tpu.data import synthetic
 from pointcloudregistration_tpu.losses import hardest_contrastive
 from pointcloudregistration_tpu.ops import lrf as lrf_mod
 from pointcloudregistration_tpu.pipelines import dip
+import pytest
 
 _CFG = dip.DIPConfig(patch_size=64, lrf_k=48, n_anchors=32, n_points=600)
 
@@ -54,6 +55,7 @@ def test_hardest_contrastive_behavior():
     assert np.isfinite(float(loss)) and np.isfinite(float(loss2))
 
 
+@pytest.mark.slow
 def test_dip_train_step_improves_matching():
     key = jax.random.PRNGKey(6)
     state = dip.create_train_state(key, _CFG)

@@ -7,6 +7,7 @@ from pointcloudregistration_tpu.core import se3
 from pointcloudregistration_tpu.data import synthetic
 from pointcloudregistration_tpu.models import lepard, ndp
 from pointcloudregistration_tpu.ops import knn as knn_ops
+import pytest
 
 _CFG = lepard.LepardConfig(feat_dim=48, nhead=4,
                            layers=("self", "cross", "positioning",
@@ -42,6 +43,7 @@ def test_dual_softmax_and_match_extraction():
     assert bool(ok.all())
 
 
+@pytest.mark.slow
 def test_landmark_model_forward():
     key = jax.random.PRNGKey(4)
     views = synthetic.modality_views(key, 200, deform_amp=0.03)
@@ -74,6 +76,7 @@ def test_outlier_rejection_separates():
     assert bool(jnp.isfinite(conf).all())
 
 
+@pytest.mark.slow
 def test_lndp_landmark_guided_fit():
     """NDP with landmark pairs pulls the landmarks onto their targets."""
     views = synthetic.modality_views(jax.random.PRNGKey(11), 300,
@@ -92,6 +95,7 @@ def test_lndp_landmark_guided_fit():
     assert after < before * 0.8, (before, after)
 
 
+@pytest.mark.slow
 def test_lndp_beats_plain_ndp_on_large_deformation():
     """Landmark-guided NDP beats plain NDP on a large-deformation pair
     (the LNDP capability, c2p-net/config/LNDP.yaml)."""
@@ -165,6 +169,7 @@ def _train_cfg():
     return _TRAIN_CFG
 
 
+@pytest.mark.slow
 def test_lepard_train_step_decreases_loss():
     """The matcher loss trains (MatchMotionLoss + NeCo parity,
     correspondence/lepard/loss.py)."""
@@ -227,6 +232,7 @@ def test_fourdmatch_contract_and_roundtrip(tmp_path):
     assert glob.glob(os.path.join(str(tmp_path), "train", "*", "*.npz"))
 
 
+@pytest.mark.slow
 def test_lepard_train_on_fourdmatch_dir(tmp_path):
     """Persisted 4DMatch-contract data streams through lepard.train with
     the full MatchMotionLoss (flow + positioning layers + fine NCE)."""
@@ -244,6 +250,7 @@ def test_lepard_train_on_fourdmatch_dir(tmp_path):
         assert k in hist[-1], k
 
 
+@pytest.mark.slow
 def test_estimate_landmarks_fine_refinement():
     """Fine refinement keeps landmarks among the fine_k nearest level-0
     target points of the coarse landmark (the coarse->fine split)."""
@@ -267,6 +274,7 @@ def test_estimate_landmarks_fine_refinement():
     assert bool(jnp.all(d_fine ** 2 <= d8[:, -1] + 1e-5))
 
 
+@pytest.mark.slow
 def test_estimate_landmarks_min_keep_budget():
     """min_keep guarantees a landmark budget when the confidence gate
     starves (the OOD regime): kept landmarks are extracted matches."""
@@ -290,6 +298,7 @@ def test_estimate_landmarks_min_keep_budget():
     assert bool(jnp.all(~lm["ldmk_mask"] | lm["match_mask"]))
 
 
+@pytest.mark.slow
 def test_lepard_lndp_end_to_end():
     """estimate_landmarks + register_pair_lndp run the full LNDP loop."""
     from pointcloudregistration_tpu.pipelines import lepard as lp

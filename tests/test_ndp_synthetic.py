@@ -8,6 +8,7 @@ from pointcloudregistration_tpu.data import synthetic, augment
 from pointcloudregistration_tpu.models import ndp
 from pointcloudregistration_tpu.ops import knn as knn_ops
 from pointcloudregistration_tpu import metrics
+import pytest
 
 
 def test_phantom_generation():
@@ -53,6 +54,7 @@ _TINY = ndp.NDPConfig(m=6, k0=-2, depth=2, width=32, iters=25, lr=0.02,
                       w_reg=0.001, trunc=0.1)
 
 
+@pytest.mark.slow
 def test_ndp_reduces_chamfer_on_deformed_pair():
     key = jax.random.PRNGKey(6)
     views = synthetic.modality_views(key, 1000, deform_amp=0.08)
@@ -76,6 +78,7 @@ def test_ndp_identity_on_identical_clouds():
     assert disp < 0.05, disp
 
 
+@pytest.mark.slow
 def test_ndp_batched():
     batch = synthetic.make_batch(jax.random.PRNGKey(10), 2, n_points=400,
                                  max_angle_deg=0.0, max_trans=0.0,
@@ -87,6 +90,7 @@ def test_ndp_batched():
     assert bool(jnp.isfinite(warped).all())
 
 
+@pytest.mark.slow
 def test_ndp_tgt_cap_matches_full_target():
     # the y-side data-term subset (NDPConfig.tgt_cap) must not change the
     # registration outcome materially: same deformed pair, capped vs full

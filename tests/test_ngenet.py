@@ -8,6 +8,7 @@ from pointcloudregistration_tpu.models.kpconv import kernel_points
 from pointcloudregistration_tpu.models.ngenet import NgeNetConfig, vote
 from pointcloudregistration_tpu.ops.pyramid import PyramidConfig, build_pyramid
 from pointcloudregistration_tpu.pipelines import ngenet as ng
+import pytest
 
 _PCFG = PyramidConfig(num_layers=4, first_voxel=0.04,
                       capacities=(512, 256, 128, 64),
@@ -47,6 +48,7 @@ def test_pyramid_structure():
     assert counts[0] > counts[1] > counts[2] >= counts[3] - 1
 
 
+@pytest.mark.slow
 def test_ngenet_forward():
     sample = ng.make_sample(jax.random.PRNGKey(1), _CFG)
     state = ng.create_train_state(jax.random.PRNGKey(2), _CFG, sample)
@@ -66,6 +68,7 @@ def test_ngenet_forward():
     assert (np.asarray(out_s["overlap"]) <= 1).all()
 
 
+@pytest.mark.slow
 def test_ngenet_train_step_decreases_loss():
     key = jax.random.PRNGKey(3)
     sample = ng.make_sample(jax.random.PRNGKey(4), _CFG)

@@ -8,6 +8,7 @@ from pointcloudregistration_tpu.models import ndp
 from pointcloudregistration_tpu.ops import sinkhorn, deformation_graph as dg
 from pointcloudregistration_tpu.ops import knn as knn_ops
 from pointcloudregistration_tpu.pipelines import nonrigid
+import pytest
 
 
 def _deformed_pair(n=400, amp=0.08, seed=0):
@@ -99,6 +100,7 @@ def test_nsfp_reduces_chamfer():
     assert after < before
 
 
+@pytest.mark.slow
 def test_dispatcher_all_models():
     src, tgt, tmask = _deformed_pair(250)
     tiny_ndp = ndp.NDPConfig(m=3, k0=-2, depth=2, width=16, iters=8)
@@ -140,6 +142,7 @@ def test_build_graph_geodesic():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_nerfies_reduces_chamfer():
     src, tgt, tmask = _deformed_pair(300)
     warped, aux = dg.nerfies_register(jax.random.PRNGKey(8), src, tgt,

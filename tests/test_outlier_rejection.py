@@ -8,6 +8,7 @@ import optax
 from pointcloudregistration_tpu.core import se3
 from pointcloudregistration_tpu.data import multiview as mv
 from pointcloudregistration_tpu.models import outlier_rejection as orj
+import pytest
 
 
 def test_multiview_contract_identity():
@@ -82,6 +83,7 @@ def _toy_matches(key, P=3, L=24, outlier_frac=0.35):
     return src, tgt, lbl, pcd_pairs
 
 
+@pytest.mark.slow
 def test_cycle_outlier_rejection_forward_all_modes():
     src, tgt, lbl, pairs = _toy_matches(jax.random.PRNGKey(3))
     mask = jnp.ones(src.shape[:2], bool)

@@ -16,6 +16,7 @@ def pairs_mesh():
     return mesh_mod.make_mesh(n_pairs=4, n_blocks=2)
 
 
+@pytest.mark.slow
 def test_register_batch_sharded_matches_unsharded(pairs_mesh):
     from pointcloudregistration_tpu.pipelines import c2p
     cfg = c2p.C2PConfig(

@@ -7,6 +7,7 @@ from pointcloudregistration_tpu.models.ropnet import ROPNet, ROPNetConfig
 from pointcloudregistration_tpu.losses import ropnet as ropnet_loss
 from pointcloudregistration_tpu.pipelines import ropnet as ropnet_pipe
 from pointcloudregistration_tpu.core import se3
+import pytest
 
 _CFG = ROPNetConfig(N1=96, M1=128, top_prob=0.6, similarity_topk=3,
                     radius=0.3, num_neighbors=16, feat_dim=64, num_iter=2)
@@ -14,6 +15,7 @@ _TCFG = ropnet_pipe.ROPNetTrainConfig(model=_CFG, n_points=256, batch=2,
                                       lr=1e-4)
 
 
+@pytest.mark.slow
 def test_ropnet_forward_shapes():
     model = ROPNet(_CFG)
     src = jax.random.normal(jax.random.PRNGKey(0), (2, 256, 6))
@@ -47,6 +49,7 @@ def test_ropnet_losses():
     np.testing.assert_allclose(float(parts["refine"]), 0.06, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_ropnet_train_step_runs_and_improves():
     key = jax.random.PRNGKey(7)
     state = ropnet_pipe.create_train_state(key, _TCFG)

@@ -13,11 +13,13 @@ from pointcloudregistration_tpu.data import synthetic
 from pointcloudregistration_tpu.parallel import mesh as mesh_mod
 from pointcloudregistration_tpu.parallel.mesh import pair_sharding, replicated
 from pointcloudregistration_tpu.pipelines import c2p
+import pytest
 
 _COLLECTIVES = ("all-reduce", "all-gather", "all-to-all",
                 "collective-permute", "reduce-scatter")
 
 
+@pytest.mark.slow
 def test_pairs_sharded_c2p_has_no_collectives():
     from pointcloudregistration_tpu.parallel import pipeline
     mesh = mesh_mod.make_mesh(n_pairs=8, n_blocks=1)
@@ -37,6 +39,7 @@ def test_pairs_sharded_c2p_has_no_collectives():
     assert not found, f"cross-pair collectives in DP program: {found}"
 
 
+@pytest.mark.slow
 def test_register_batch_sharded_caches_compilation():
     """Two consecutive driver calls must reuse one jitted program — the
     builder is lru_cached on (mesh, cfg, key_impl), so no retrace happens
@@ -68,6 +71,7 @@ def test_wrap_key_data_preserves_impl():
     assert str(jax.random.key_impl(restored)) == "rbg"
 
 
+@pytest.mark.slow
 def test_pairs_sharded_matches_single_device():
     """The sharded DP driver computes the same poses as plain vmap."""
     from pointcloudregistration_tpu.parallel import pipeline

@@ -7,6 +7,7 @@ from pointcloudregistration_tpu.ops import depth as depth_mod
 from pointcloudregistration_tpu.parallel import distributed
 from pointcloudregistration_tpu.pipelines import validation, c2p
 from pointcloudregistration_tpu.models import ndp
+import pytest
 
 
 def test_backproject_roundtrip():
@@ -35,6 +36,7 @@ def test_depth_to_mesh():
     assert not m[bad_faces].any()
 
 
+@pytest.mark.slow
 def test_validation_harness():
     cfg = c2p.C2PConfig(
         ransac_hypotheses=2048, icp_iters=10,
@@ -60,6 +62,7 @@ def test_global_mesh_blocks():
     assert m.shape["pairs"] * 4 == len(jax.devices())
 
 
+@pytest.mark.slow
 def test_validation_export_dir(tmp_path):
     import os
     import numpy as np
