@@ -46,6 +46,92 @@ def timed(fn, args, n_rep=5, sync=None):
     return (time.perf_counter() - t0) / n_rep, out
 
 
+def learned_breakdown(ckpt_dir: str, pkl: str, batch: int):
+    """Stage timing of the learned C2P path (pyramid build, NgeNet forward,
+    vote, RANSAC-on-corrs, ICP, NDP) on real-phantom test pairs. The
+    reference hot path this profiles: ngenet/models/KPConv/blocks.py:73-128
+    (encoder gathers) + testScript.py:126-206 (inference chain)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from eval_accuracy import calibrated_cfg, N_POINTS
+    from pointcloudregistration_tpu.data.mri import NgeNetPairs
+    from pointcloudregistration_tpu.models.ngenet import vote
+    from pointcloudregistration_tpu.pipelines import ngenet as ng
+    from pointcloudregistration_tpu.train.checkpoint import CheckpointManager
+
+    cfg = calibrated_cfg(pkl)
+    state = ng.create_train_state(jax.random.PRNGKey(0), cfg)
+    state = CheckpointManager(ckpt_dir).restore(state)
+    if state is None:
+        return {"error": f"no checkpoint in {ckpt_dir}"}
+
+    ds = NgeNetPairs(pkl, "test", max_points=cfg.n_points)
+    n = min(batch, len(ds))
+    import numpy as np
+    src = jnp.asarray(np.stack(
+        [ng._pad_cloud(ds[i]["src_points"], N_POINTS)[0] for i in range(n)]))
+    sm = jnp.asarray(np.stack(
+        [ng._pad_cloud(ds[i]["src_points"], N_POINTS)[1] for i in range(n)]))
+    tgt = jnp.asarray(np.stack(
+        [ng._pad_cloud(ds[i]["tgt_points"], N_POINTS)[0] for i in range(n)]))
+    tm = jnp.asarray(np.stack(
+        [ng._pad_cloud(ds[i]["tgt_points"], N_POINTS)[1] for i in range(n)]))
+    out = {"batch": n, "n_points": N_POINTS, "stages_ms_per_pair": {}}
+
+    def per_pair(dt):
+        return round(dt / n * 1e3, 3)
+
+    pyr = jax.jit(jax.vmap(
+        lambda p, m: ng._pyramid_with_normals(p, m, cfg.pyramid)))
+    dt, (pyr_s, n_s) = timed(pyr, (src, sm),
+                             sync=lambda o: float(jnp.sum(o[1])))
+    out["stages_ms_per_pair"]["pyramid_per_cloud"] = per_pair(dt)
+    pyr_t, n_t = pyr(tgt, tm)
+
+    fwd = jax.jit(jax.vmap(lambda ps, pt, a, b: state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        ps, pt, a, b, train=False)))
+    dt, (out_s, out_t) = timed(
+        fwd, (pyr_s, pyr_t, n_s, n_t),
+        sync=lambda o: float(jnp.sum(o[0]["feats_h"][..., 0])))
+    out["stages_ms_per_pair"]["ngenet_forward_pair"] = per_pair(dt)
+
+    votef = jax.jit(jax.vmap(lambda ps, pt, a, b, ms, mt: vote(
+        ps["points"][0], pt["points"][0], a, b, cfg.pyramid.first_voxel,
+        ms, mt)))
+    dt, (sel, corr_idx, feats_h) = timed(
+        votef, (pyr_s, pyr_t, out_s, out_t,
+                jax.tree.map(lambda x: x, pyr_s["masks"][0]),
+                pyr_t["masks"][0]),
+        sync=lambda o: float(jnp.sum(o[1])))
+    out["stages_ms_per_pair"]["vote"] = per_pair(dt)
+
+    from pointcloudregistration_tpu.ops import icp as icp_mod2
+    from pointcloudregistration_tpu.ops import ransac as ransac_mod2
+    thresh = cfg.pyramid.first_voxel * 2.0
+    keys = jax.random.split(jax.random.PRNGKey(5), n)
+    ransf = jax.jit(jax.vmap(lambda k, ps, ptc, s: \
+        ransac_mod2.ransac_correspondences(
+            k, ps, ptc, threshold=thresh, num_hypotheses=8192, corr_mask=s)))
+    p0_s = pyr_s["points"][0]
+    p0_t = pyr_t["points"][0]
+    ptc = jnp.take_along_axis(p0_t, corr_idx[..., None], axis=-2)
+    dt, (R0, t0_, rinfo) = timed(
+        ransf, (keys, p0_s, ptc, sel),
+        sync=lambda o: float(jnp.sum(o[0])))
+    out["stages_ms_per_pair"]["ransac_corr"] = per_pair(dt)
+
+    icpf = jax.jit(jax.vmap(lambda s, t, r0, tt0, ms, mt: icp_mod2.icp(
+        s, t, thresh, iters=20, R0=r0, t0=tt0, src_mask=ms, tgt_mask=mt,
+        max_dist_final=cfg.pyramid.first_voxel)))
+    dt, _ = timed(icpf, (p0_s, p0_t, R0, t0_,
+                         pyr_s["masks"][0], pyr_t["masks"][0]),
+                  sync=lambda o: float(jnp.sum(o[0])))
+    out["stages_ms_per_pair"]["icp"] = per_pair(dt)
+    return out
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     n_points = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
@@ -125,6 +211,14 @@ def main():
                           (jax.random.PRNGKey(2), aligned, T, dm, TM),
                           sync=lambda o: float(jnp.sum(o[0][..., 0, 0])))
         report[name]["ms_per_pair_no_earlystop"] = per_pair(dt_off)
+
+    # --- learned-path stage breakdown (VERDICT r03 item 4) ---
+    import os
+    ckpt_dir = os.environ.get("NGENET_CKPT", "artifacts/ngenet_real_v2")
+    pkl = os.environ.get("NGENET_PKL",
+                         "artifacts/data/RANSACTraincropped_real_v2.pickle")
+    if os.path.isdir(ckpt_dir) and os.path.exists(pkl):
+        report["learned"] = learned_breakdown(ckpt_dir, pkl, batch)
 
     # --- end-to-end at both NDP configs ---
     for name, ncfg in (("e2e_fast", cfg.ndp), ("e2e_parity", PARITY_NDP)):

@@ -73,7 +73,8 @@ def main():
 
         out = lp.register_pair_lndp(state, key, src, tgt, sm, tm, cfg,
                                     ndp_cfg=NDP_CFG, inlier_thr=0.3,
-                                    min_keep=16, fine_k=48, w_ldmk=0.3)
+                                    min_keep=32, fine_k=48, w_ldmk=1.0,
+                                    use_neco_weight=True, disp_gate=0.10)
         # plain NDP from the SAME rigid initialization
         lm = out["landmarks"]
         R, t, _ = icp_mod.icp(src, tgt, 0.1, iters=15, R0=lm["R"],

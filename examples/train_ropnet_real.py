@@ -1,0 +1,112 @@
+"""ROPNet training + held-out evaluation on the REAL phantom corpus.
+
+Closes the r03 evidence gap: the third of the reference's three learned
+methods gets trained accuracy numbers next to NgeNet/DIP. Uses the
+existing KFold driver (pipelines/ropnet.py train — the
+ROPNet/src/train.py:208-310 contract) on the v2 real-phantom pickle, then
+evaluates the fold-0 model on the held-out TEST split with the
+reference's metric set (ROPNet/src/eval.py:23-133): isotropic RRE/RTE,
+overlap precision/recall of the OP/ROP point sets, per-pair wall time.
+
+Usage: python examples/train_ropnet_real.py [steps] [folds] [pickle]
+Writes artifacts/ropnet_real/accuracy.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointcloudregistration_tpu import metrics
+from pointcloudregistration_tpu.core import se3
+from pointcloudregistration_tpu.core.geometry import square_dists
+from pointcloudregistration_tpu.data.mri import MRIPairs
+from pointcloudregistration_tpu.pipelines import ropnet as rp
+
+N_POINTS = 1024
+
+
+def eval_real(state, cfg, pkl, batch=4):
+    """Held-out eval on the TEST split: RRE/RTE + overlap P/R + wall."""
+    ds = MRIPairs(pkl, "test", npts=cfg.n_points, normal=True,
+                  max_angle_deg=cfg.max_angle_deg, max_trans=cfg.max_trans)
+    rows = []
+    walls = []
+    for start in range(0, len(ds) - batch + 1, batch):
+        items = [ds[i] for i in range(start, start + batch)]
+        b = rp._batch_from_items(items, cfg)
+        t0 = time.perf_counter()
+        out = state.apply_fn({"params": state.params}, b["src"], b["tgt"],
+                             train=False)
+        R, t = out["pred_Ts"][-1]
+        _ = float(jnp.sum(R))               # host readback sync
+        walls.append((time.perf_counter() - t0) / batch)
+        rre = metrics.isotropic_R_error(R, b["R_gt"])
+        rte = metrics.isotropic_t_error(t, b["t_gt"])
+        gt_src = se3.transform(b["src"][..., :3], b["R_gt"], b["t_gt"])
+        d = square_dists(gt_src, b["tgt"][..., :3])
+        gt_ol = jnp.min(d, -1) < 0.05 * 0.05
+        d1 = square_dists(out["src_ol1"], b["src"][..., :3])
+        in_ol1 = jnp.min(d1, -2) < 1e-8
+        d2 = square_dists(out["src_ol2"], b["src"][..., :3])
+        in_ol2 = jnp.min(d2, -2) < 1e-8
+        p1, r1 = metrics.overlap_precision_recall(in_ol1, gt_ol)
+        p2, r2 = metrics.overlap_precision_recall(in_ol2, gt_ol)
+        for i in range(batch):
+            rows.append({"rre": float(rre[i]), "rte": float(rte[i]),
+                         "op_p": float(p1[i]), "op_r": float(r1[i]),
+                         "rop_p": float(p2[i]), "rop_r": float(r2[i])})
+    rre = np.asarray([r["rre"] for r in rows])
+    rte = np.asarray([r["rte"] for r in rows])
+    return {
+        "n_test_pairs": len(rows),
+        "median_rre_deg": round(float(np.median(rre)), 3),
+        "mean_rre_deg": round(float(rre.mean()), 3),
+        "median_rte": round(float(np.median(rte)), 4),
+        "mean_rte": round(float(rte.mean()), 4),
+        "registration_recall_re15": round(float((rre < 15).mean()), 4),
+        "op_precision": round(float(np.mean([r["op_p"] for r in rows])), 4),
+        "op_recall": round(float(np.mean([r["op_r"] for r in rows])), 4),
+        "rop_precision": round(float(np.mean([r["rop_p"] for r in rows])), 4),
+        "rop_recall": round(float(np.mean([r["rop_r"] for r in rows])), 4),
+        "wall_ms_per_pair": round(float(np.mean(walls[1:]) * 1e3), 2),
+    }, rows
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    folds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    pkl = sys.argv[3] if len(sys.argv) > 3 else \
+        "artifacts/data/RANSACTraincropped_real_v2.pickle"
+    out_dir = "artifacts/ropnet_real"
+    os.makedirs(out_dir, exist_ok=True)
+
+    cfg = rp.ROPNetTrainConfig(n_points=N_POINTS, batch=4, lr=1e-4)
+    t0 = time.perf_counter()
+    states, history = rp.train(jax.random.PRNGKey(0), cfg, steps=steps,
+                               n_folds=folds, log_every=50, data=pkl,
+                               ckpt_dir=out_dir, log_dir=out_dir,
+                               resume=True, save_every=500)
+    train_wall = time.perf_counter() - t0
+    folds_val = [h[-1] for h in history if h and "val_rre" in h[-1]]
+    print(f"trained {folds} folds x {steps} steps in {train_wall:.0f}s; "
+          f"per-fold val: {folds_val}", flush=True)
+
+    summary, rows = eval_real(states[0], cfg, pkl)
+    summary["train_wall_s"] = round(train_wall, 1)
+    summary["steps"] = steps
+    summary["folds"] = folds
+    summary["cv_val"] = folds_val
+    with open(os.path.join(out_dir, "accuracy.json"), "w") as f:
+        json.dump({"summary": summary, "pairs": rows}, f, indent=1)
+    print(json.dumps(summary, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -191,12 +191,22 @@ def _kfold_indices(n: int, n_folds: int, fold: int):
 
 def _batch_from_items(items, cfg: ROPNetTrainConfig):
     """Stack MRIPairs rows (normal=True -> 6 channels) into the train-step
-    batch pytree."""
+    batch pytree.
+
+    Label contract bridge: MRIPairs stores the FORWARD disorientation
+    (R, t) applied to the aligned source (tgt ~ R_gt^T (src - t_gt),
+    tests/test_mri_data.py::test_compose_label_inverse) — exactly what the
+    reference loader emits and then inverts before supervising
+    (ROPNet/src/train.py:63-66 inv_R_t). train_step expects the ALIGNER
+    (the synthetic make_batch contract), so invert here.
+    """
     src = jnp.stack([jnp.asarray(it["src"], jnp.float32) for it in items])
     tgt = jnp.stack([jnp.asarray(it["tgt"], jnp.float32) for it in items])
+    R_fwd = jnp.stack([jnp.asarray(it["R_gt"]) for it in items])
+    t_fwd = jnp.stack([jnp.asarray(it["t_gt"]) for it in items])
+    R_align, t_align = se3.invert(R_fwd, t_fwd)
     return {"src": src, "tgt": tgt,
-            "R_gt": jnp.stack([jnp.asarray(it["R_gt"]) for it in items]),
-            "t_gt": jnp.stack([jnp.asarray(it["t_gt"]) for it in items]),
+            "R_gt": R_align, "t_gt": t_align,
             "target_mask": jnp.ones(tgt.shape[:-1], bool)}
 
 
