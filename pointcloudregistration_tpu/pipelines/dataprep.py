@@ -16,6 +16,7 @@ downstream pipelines (dip / ropnet / ngenet) can stream.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -220,6 +221,77 @@ def generate_dataset(key: jax.Array, cfg: DataPrepConfig = DataPrepConfig(),
     if out_path is not None:
         np.savez_compressed(out_path, **record)
     return record
+
+
+def qc_report(record: dict, path: str):
+    """Ranked QC report file (QualityCheck.py:54-79 parity).
+
+    The reference writes an xlsx ranked by the Hausdorff/Chamfer average
+    (descending — worst samples first) that Copy.py then consumes to move
+    outliers. Environment note: openpyxl isn't available here, so the
+    ranked table is CSV (same columns, same ordering, same consumer
+    contract); pandas writes either from the same frame.
+
+    Returns the DataFrame (also written to `path`).
+    """
+    import pandas as pd
+
+    n = record["qc_average"].shape[0]
+    df = pd.DataFrame({
+        "SampleNo": np.arange(n),
+        "Hausdorff Distance": record["qc_hausdorff"],
+        "Chamfer Distance": record["qc_chamfer"],
+        "Average": record["qc_average"],
+        "is_train": record["is_train"],
+        "accepted": record.get("accepted", np.ones(n, bool)),
+    }).sort_values("Average", ascending=False).reset_index(drop=True)
+    df.to_csv(path, index=False)
+    return df
+
+
+def materialize_split(record: dict, root: str) -> dict:
+    """Write per-sample files into Train/ and Test/ directories.
+
+    The reference's split is *file moves*: every augmented sample lives as
+    files under Train/, and Copy.py relocates QC outliers to Test/. This
+    materializes the same on-disk layout from the array-level split
+    (`is_train`): `root/Train/sample_%03d.npz`, `root/Test/sample_%03d.npz`
+    (source, target, transformation per file). Returns
+    {"train": [paths], "test": [paths]}.
+    """
+    out = {"train": [], "test": []}
+    for sub in ("Train", "Test"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    for i in range(record["qc_average"].shape[0]):
+        sub = "Train" if record["is_train"][i] else "Test"
+        p = os.path.join(root, sub, f"sample_{i:03d}.npz")
+        np.savez_compressed(
+            p, source=record["source"][i], target=record["target"][i],
+            transformation=record["transformation"][i])
+        out[sub.lower()].append(p)
+    return out
+
+
+def move_outliers(report_csv: str, threshold: float, train_dir: str,
+                  test_dir: str) -> list:
+    """File-moving split of Copy.py:9-36: read the ranked QC report, move
+    every sample whose Average exceeds `threshold` from Train/ to Test/.
+    Returns the list of moved paths (missing files are skipped, matching
+    the reference's tolerance for already-moved samples)."""
+    import shutil
+
+    import pandas as pd
+
+    df = pd.read_csv(report_csv)
+    os.makedirs(test_dir, exist_ok=True)
+    moved = []
+    for _, row in df[df["Average"] > threshold].iterrows():
+        name = f"sample_{int(row['SampleNo']):03d}.npz"
+        src = os.path.join(train_dir, name)
+        if os.path.exists(src):
+            shutil.move(src, os.path.join(test_dir, name))
+            moved.append(os.path.join(test_dir, name))
+    return moved
 
 
 def train_pointnet_qc(key: jax.Array, steps: int = 100, batch: int = 8,
