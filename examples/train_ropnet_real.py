@@ -36,14 +36,15 @@ def eval_real(state, cfg, pkl, batch=4):
     """Held-out eval on the TEST split: RRE/RTE + overlap P/R + wall."""
     ds = MRIPairs(pkl, "test", npts=cfg.n_points, normal=True,
                   max_angle_deg=cfg.max_angle_deg, max_trans=cfg.max_trans)
+    fwd = jax.jit(lambda s, t: state.apply_fn(
+        {"params": state.params}, s, t, train=False))
     rows = []
     walls = []
     for start in range(0, len(ds) - batch + 1, batch):
         items = [ds[i] for i in range(start, start + batch)]
         b = rp._batch_from_items(items, cfg)
         t0 = time.perf_counter()
-        out = state.apply_fn({"params": state.params}, b["src"], b["tgt"],
-                             train=False)
+        out = fwd(b["src"], b["tgt"])
         R, t = out["pred_Ts"][-1]
         _ = float(jnp.sum(R))               # host readback sync
         walls.append((time.perf_counter() - t0) / batch)
@@ -87,7 +88,12 @@ def main():
     out_dir = "artifacts/ropnet_real"
     os.makedirs(out_dir, exist_ok=True)
 
-    cfg = rp.ROPNetTrainConfig(n_points=N_POINTS, batch=4, lr=1e-4)
+    # N1/M1 scale with the cloud: the reference's 896/1434 assume npts=2048
+    # (arguments.py:11 with train_N1=448*2, train_M1=717*2); at 1024 points
+    # use the un-doubled 448/717.
+    mcfg = rp.ROPNetConfig(N1=448, M1=717)
+    cfg = rp.ROPNetTrainConfig(model=mcfg, n_points=N_POINTS, batch=4,
+                               lr=1e-4)
     t0 = time.perf_counter()
     states, history = rp.train(jax.random.PRNGKey(0), cfg, steps=steps,
                                n_folds=folds, log_every=50, data=pkl,
@@ -98,7 +104,12 @@ def main():
     print(f"trained {folds} folds x {steps} steps in {train_wall:.0f}s; "
           f"per-fold val: {folds_val}", flush=True)
 
-    summary, rows = eval_real(states[0], cfg, pkl)
+    # evaluate the best CV fold (the reference's global best-criteria
+    # checkpoint selection, train.py:286-308, applied across folds)
+    best = min(range(len(folds_val)),
+               key=lambda i: folds_val[i]["val_rre"]) if folds_val else 0
+    summary, rows = eval_real(states[best], cfg, pkl)
+    summary["eval_fold"] = best
     summary["train_wall_s"] = round(train_wall, 1)
     summary["steps"] = steps
     summary["folds"] = folds

@@ -274,14 +274,28 @@ def fit(key: jax.Array, src: jax.Array, tgt: jax.Array,
     if subset:
         # final full-cloud warp through the frozen pyramid, once per level
         # (registration.py:279-287)
-        def apply_level(x, inputs):
-            params, level = inputs
-            out, _ = warp_level(params, x, _level_freq(cfg, level),
-                                level > 0)
-            return out, None
-        warped, _ = jax.lax.scan(apply_level, src, (params_all, levels))
+        warped = apply_pyramid(params_all, src, cfg)
     return warped, {"losses": losses, "gate_means": gates,
-                    "level_steps": n_steps}
+                    "level_steps": n_steps, "params": params_all}
+
+
+def apply_pyramid(params_all, x: jax.Array, cfg: NDPConfig = NDPConfig()):
+    """Warp any cloud through a frozen fitted pyramid (the final full-cloud
+    warp of registration.py:279-287, as a standalone op).
+
+    params_all is aux["params"] from `fit` — the per-level parameter stack;
+    the deformation field is a pure function of coordinates, so it applies
+    to clouds other than the one it was fitted on (e.g. the full-resolution
+    source when the fit ran on a subsampled/inlier subset)."""
+    levels = jnp.arange(cfg.m, dtype=jnp.float32)
+
+    def apply_level(pts, inputs):
+        params, level = inputs
+        out, _ = warp_level(params, pts, _level_freq(cfg, level), level > 0)
+        return out, None
+
+    warped, _ = jax.lax.scan(apply_level, x, (params_all, levels))
+    return warped
 
 
 def fit_batch(key: jax.Array, src: jax.Array, tgt: jax.Array,

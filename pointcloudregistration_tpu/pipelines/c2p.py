@@ -162,20 +162,35 @@ def register_pair_learned(ngenet_state, key: jax.Array,
     if ndp_cfg is None:
         ndp_cfg = C2PConfig().ndp
     k_rigid, k_ndp = jax.random.split(key)
+    if source_mask is None:
+        source_mask = jnp.ones(source.shape[:-1], bool)
+    if target_mask is None:
+        target_mask = jnp.ones(target.shape[:-1], bool)
     rigid = ngenet_pipe.register(ngenet_state, k_rigid, source, target,
                                  source_mask, target_mask, ngenet_cfg)
     R, t = rigid["R"], rigid["t"]
-    aligned = se3.transform(rigid["sub_source"], R, t)
+    aligned_sub = se3.transform(rigid["sub_source"], R, t)
     data_mask = rigid["inliers"] & rigid["sub_source_mask"]
     enough = jnp.sum(data_mask) > 32
     data_mask = jnp.where(enough, data_mask, rigid["sub_source_mask"])
-    warped, aux = ndp_mod.fit(k_ndp, aligned, rigid["sub_target"], ndp_cfg,
-                              data_mask=data_mask,
-                              tgt_mask=rigid["sub_target_mask"])
-    cd = knn_ops.chamfer(warped, rigid["sub_target"],
-                         rigid["sub_source_mask"],
-                         rigid["sub_target_mask"], sqrt=True)
-    return {"R": R, "t": t, "warped": warped, "chamfer_nonrigid": cd,
+    _, aux = ndp_mod.fit(k_ndp, aligned_sub, rigid["sub_target"], ndp_cfg,
+                         data_mask=data_mask,
+                         tgt_mask=rigid["sub_target_mask"])
+    # final warp on the FULL cloud through the frozen pyramid + the same
+    # no-harm guard as the classical path (registration.py:279-287: the
+    # reference's final warp also sees the raw cloud, not the subset the
+    # data term optimized) — chamfer is then comparable across paths
+    aligned = se3.transform(source, R, t)
+    warped = ndp_mod.apply_pyramid(aux["params"], aligned, ndp_cfg)
+    cd_rigid = knn_ops.chamfer(aligned, target, source_mask, target_mask,
+                               sqrt=True)
+    cd_warped = knn_ops.chamfer(warped, target, source_mask, target_mask,
+                                sqrt=True)
+    improved = cd_warped < cd_rigid
+    return {"R": R, "t": t,
+            "warped": jnp.where(improved, warped, aligned),
+            "chamfer_nonrigid": jnp.minimum(cd_warped, cd_rigid),
+            "chamfer_rigid": cd_rigid, "ndp_improved": improved,
             "rigid": rigid, "ndp_losses": aux["losses"]}
 
 
