@@ -63,6 +63,7 @@ def test_ropnet_train_step_runs_and_improves():
     assert losses[-1] < losses[0] * 1.5  # moving, not exploding
 
 
+@pytest.mark.slow
 def test_ropnet_eval_step():
     key = jax.random.PRNGKey(8)
     state = ropnet_pipe.create_train_state(key, _TCFG)
@@ -72,6 +73,7 @@ def test_ropnet_eval_step():
     assert bool(jnp.isfinite(out["rre"]).all())
 
 
+@pytest.mark.slow
 def test_ropnet_vis_dump(tmp_path):
     import pickle
     key = jax.random.PRNGKey(10)
