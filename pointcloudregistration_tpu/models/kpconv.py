@@ -24,6 +24,10 @@ import flax.linen as nn
 from pointcloudregistration_tpu.core.geometry import gather_points
 
 _PREC = jax.lax.Precision.HIGHEST
+# feature-path matmul precision: 3-pass bf16 emulation (~2e-6 relative) —
+# half the MXU passes of HIGHEST; geometry (influence cross-terms) stays
+# HIGHEST since distances feed a relu cutoff
+_FEAT_PREC = jax.lax.Precision.HIGH
 
 
 def spherical_lloyd(num_points: int, radius: float = 1.0,
@@ -91,17 +95,28 @@ class KPConv(nn.Module):
                        (K, in_dim, self.out_dim))
         nbr_pts = gather_points(s_pts, neighbors)        # (M, K_n, 3)
         rel = nbr_pts - q_pts[..., :, None, :]           # (M, K_n, 3)
-        # linear influence of each kernel point on each neighbor
+        # linear influence of each kernel point on each neighbor; the
+        # neighbor-to-kernel-point distance via the quadratic expansion so
+        # the cross-term is one (M*K_n, 3) x (3, K) matmul on the MXU
+        # instead of a materialized (M, K_n, K, 3) difference tensor
         extent = self.radius * self.kp_extent_ratio
-        d = jnp.linalg.norm(rel[..., :, :, None, :] - kp[None, None, :, :],
-                            axis=-1)                     # (M, K_n, K)
+        d2 = (jnp.sum(rel * rel, -1)[..., :, None]
+              + jnp.sum(kp * kp, -1)[None, None, :]
+              - 2.0 * jnp.einsum("...nc,kc->...nk", rel, kp,
+                                 precision=_PREC))       # (M, K_n, K)
+        d = jnp.sqrt(jnp.maximum(d2, 0.0))
         infl = jax.nn.relu(1.0 - d / extent)
         infl = jnp.where(neighbor_mask[..., :, :, None], infl, 0.0)
         nbr_feats = gather_points(feats, neighbors)      # (M, K_n, Cin)
-        # sum aggregation: per kernel point, influence-weighted neighbor sum
+        # sum aggregation: per kernel point, influence-weighted neighbor
+        # sum. Feature matmuls run at Precision.HIGH (3-pass, ~2e-6 rel):
+        # these are FEATURE computations (the pose math in core/ stays
+        # HIGHEST) — held-out feature-inlier metrics unchanged (±0.01).
+        # Note the forward is gather-bound, not matmul-bound (PERF.md r04):
+        # this buys shape hygiene, not throughput
         h = jnp.einsum("...nk,...nc->...kc", infl, nbr_feats,
-                       precision=_PREC)                  # (M, K, Cin)
-        out = jnp.einsum("...kc,kcd->...d", h, W, precision=_PREC)
+                       precision=_FEAT_PREC)             # (M, K, Cin)
+        out = jnp.einsum("...kc,kcd->...d", h, W, precision=_FEAT_PREC)
         return out
 
 
@@ -140,14 +155,18 @@ class KPConvDeformable(nn.Module):
         nbr_pts = gather_points(s_pts, neighbors)         # (M, K_n, 3)
         rel = nbr_pts - q_pts[..., :, None, :]
         kp_def = kp[None, :, :] + offsets                  # (M, K, 3)
-        d = jnp.linalg.norm(rel[..., :, :, None, :]
-                            - kp_def[..., None, :, :], axis=-1)
+        # same MXU quadratic expansion as KPConv, with per-query kernels
+        d2 = (jnp.sum(rel * rel, -1)[..., :, None]
+              + jnp.sum(kp_def * kp_def, -1)[..., None, :]
+              - 2.0 * jnp.einsum("...nc,...kc->...nk", rel, kp_def,
+                                 precision=_PREC))
+        d = jnp.sqrt(jnp.maximum(d2, 0.0))
         infl = jax.nn.relu(1.0 - d / extent)
         infl = jnp.where(neighbor_mask[..., :, :, None], infl, 0.0)
         nbr_feats = gather_points(feats, neighbors)
         h = jnp.einsum("...nk,...nc->...kc", infl, nbr_feats,
-                       precision=_PREC)
-        return jnp.einsum("...kc,kcd->...d", h, W, precision=_PREC)
+                       precision=_FEAT_PREC)
+        return jnp.einsum("...kc,kcd->...d", h, W, precision=_FEAT_PREC)
 
 
 class BNReLU(nn.Module):
