@@ -144,6 +144,7 @@ def register_pair(key: jax.Array, source: jax.Array, target: jax.Array,
     return out
 
 
+@partial(jax.jit, static_argnames=("ngenet_cfg", "ndp_cfg"))
 def register_pair_learned(ngenet_state, key: jax.Array,
                           source: jax.Array, target: jax.Array,
                           source_mask=None, target_mask=None,
@@ -154,7 +155,9 @@ def register_pair_learned(ngenet_state, key: jax.Array,
     The faithful testScript.py:126-206 flow with the trained NgeNet standing
     where FPFH stands in the classical `register_pair`. The NDP data term is
     driven by the RANSAC inlier subset exactly as the reference does
-    (testScript.py:183-192).
+    (testScript.py:183-192). One jitted program per (shapes, configs): the
+    reference pays ~360 eager kernel rounds per pair here (SURVEY §3.5);
+    this path pays one dispatch.
     """
     from pointcloudregistration_tpu.pipelines import ngenet as ngenet_pipe
     if ngenet_cfg is None:
