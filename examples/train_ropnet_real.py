@@ -100,20 +100,22 @@ def main():
                                ckpt_dir=out_dir, log_dir=out_dir,
                                resume=True, save_every=500)
     train_wall = time.perf_counter() - t0
-    folds_val = [h[-1] for h in history if h and "val_rre" in h[-1]]
+    # keep fold indices paired with their val entries so best-fold
+    # selection indexes `states` correctly even if a fold has no val row
+    folds_val = [(i, h[-1]) for i, h in enumerate(history)
+                 if h and "val_rre" in h[-1]]
     print(f"trained {folds} folds x {steps} steps in {train_wall:.0f}s; "
           f"per-fold val: {folds_val}", flush=True)
 
     # evaluate the best CV fold (the reference's global best-criteria
     # checkpoint selection, train.py:286-308, applied across folds)
-    best = min(range(len(folds_val)),
-               key=lambda i: folds_val[i]["val_rre"]) if folds_val else 0
+    best = min(folds_val, key=lambda p: p[1]["val_rre"])[0] if folds_val else 0
     summary, rows = eval_real(states[best], cfg, pkl)
     summary["eval_fold"] = best
     summary["train_wall_s"] = round(train_wall, 1)
     summary["steps"] = steps
     summary["folds"] = folds
-    summary["cv_val"] = folds_val
+    summary["cv_val"] = [{"fold": i, **v} for i, v in folds_val]
     with open(os.path.join(out_dir, "accuracy.json"), "w") as f:
         json.dump({"summary": summary, "pairs": rows}, f, indent=1)
     print(json.dumps(summary, indent=1))

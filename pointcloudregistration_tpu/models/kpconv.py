@@ -104,7 +104,13 @@ class KPConv(nn.Module):
               + jnp.sum(kp * kp, -1)[None, None, :]
               - 2.0 * jnp.einsum("...nc,kc->...nk", rel, kp,
                                  precision=_PREC))       # (M, K_n, K)
-        d = jnp.sqrt(jnp.maximum(d2, 0.0))
+        # clamp below by eps, not 0: catastrophic cancellation can drive
+        # d2 <= 0 for a neighbor coincident with a kernel point, and
+        # d/dx sqrt(x) -> inf at 0 would NaN the whole gradient (the
+        # deformable variant actively moves kernel points toward
+        # neighbors, so this is reachable in training). Bias ~1e-6 in d,
+        # negligible vs the conv extent.
+        d = jnp.sqrt(jnp.maximum(d2, 1e-12))
         infl = jax.nn.relu(1.0 - d / extent)
         infl = jnp.where(neighbor_mask[..., :, :, None], infl, 0.0)
         nbr_feats = gather_points(feats, neighbors)      # (M, K_n, Cin)
@@ -160,7 +166,7 @@ class KPConvDeformable(nn.Module):
               + jnp.sum(kp_def * kp_def, -1)[..., None, :]
               - 2.0 * jnp.einsum("...nc,...kc->...nk", rel, kp_def,
                                  precision=_PREC))
-        d = jnp.sqrt(jnp.maximum(d2, 0.0))
+        d = jnp.sqrt(jnp.maximum(d2, 1e-12))   # eps: see KPConv — NaN-grad guard
         infl = jax.nn.relu(1.0 - d / extent)
         infl = jnp.where(neighbor_mask[..., :, :, None], infl, 0.0)
         nbr_feats = gather_points(feats, neighbors)

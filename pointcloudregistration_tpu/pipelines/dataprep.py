@@ -274,10 +274,14 @@ def materialize_split(record: dict, root: str) -> dict:
 
 def move_outliers(report_csv: str, threshold: float, train_dir: str,
                   test_dir: str) -> list:
-    """File-moving split of Copy.py:9-36: read the ranked QC report, move
-    every sample whose Average exceeds `threshold` from Train/ to Test/.
-    Returns the list of moved paths (missing files are skipped, matching
-    the reference's tolerance for already-moved samples)."""
+    """File-moving split in the spirit of Copy.py:9-36: read the ranked QC
+    report, move every sample with Average >= threshold from Train/ to
+    Test/ (the reference walks the descending ranking and breaks on
+    Average < thresh, i.e. an inclusive boundary; it additionally skips
+    'rot'/'trans' augmented filenames — here every sample is a uniform
+    .npz so no such filename classes exist). Returns the list of moved
+    paths (missing files are skipped, matching the reference's tolerance
+    for already-moved samples)."""
     import shutil
 
     import pandas as pd
@@ -285,7 +289,7 @@ def move_outliers(report_csv: str, threshold: float, train_dir: str,
     df = pd.read_csv(report_csv)
     os.makedirs(test_dir, exist_ok=True)
     moved = []
-    for _, row in df[df["Average"] > threshold].iterrows():
+    for _, row in df[df["Average"] >= threshold].iterrows():
         name = f"sample_{int(row['SampleNo']):03d}.npz"
         src = os.path.join(train_dir, name)
         if os.path.exists(src):

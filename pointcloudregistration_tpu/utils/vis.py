@@ -210,7 +210,7 @@ def plot_ndp_history(history, path: str = "ndp_history.png") -> str:
     plt = _mpl()
     h = np.asarray(history, np.float32)
     fig, ax = plt.subplots(figsize=(6, 3.6))
-    cmap = __import__("matplotlib.cm", fromlist=["cm"]).get_cmap("viridis")
+    cmap = plt.get_cmap("viridis")
     L = h.shape[0]
     for lvl in range(L):
         row = h[lvl]
