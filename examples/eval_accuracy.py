@@ -37,7 +37,10 @@ N_POINTS = 2048
 def calibrated_cfg(pkl: str) -> ng.NgeNetTrainConfig:
     """Reconstruct the training config (same deterministic calibration as
     examples/train_ngenet_real.py)."""
+    import os
     cfg = ng.NgeNetTrainConfig(n_points=N_POINTS)
+    if os.environ.get("NGENET_DENSE", "1") == "1":
+        cfg = cfg._replace(model=cfg.model._replace(dense=True))
     ds0 = NgeNetPairs(pkl, "train", max_points=cfg.n_points)
     clouds = []
     for i in range(min(8, len(ds0))):
@@ -99,6 +102,11 @@ def main():
         R_gt, t_gt = jnp.asarray(T[:3, :3]), jnp.asarray(T[:3, 3])
         key = jax.random.PRNGKey(100 + i)
 
+        # unregistered chamfer — the validationScript.py:335-341 "CD
+        # non-registered" column the registered numbers are judged against
+        cd_unreg = float(jnp.mean(knn_ops.chamfer(src, tgt, sm, tm,
+                                                  sqrt=True)))
+
         # learned C2P (trained NgeNet -> vote -> RANSAC -> ICP -> NDP)
         t0 = time.perf_counter()
         learned = c2p.register_pair_learned(state, key, src, tgt, sm, tm,
@@ -113,6 +121,9 @@ def main():
         wall_c = time.perf_counter() - t0
 
         row = {
+            "chamfer_unregistered": cd_unreg,
+            "ndp_improved_learned": float(learned["ndp_improved"]),
+            "ndp_improved_classical": float(classical["ndp_improved"]),
             "rre_learned": float(metrics.isotropic_R_error(
                 learned["R"], R_gt)),
             "rte_learned": float(metrics.isotropic_t_error(
@@ -147,9 +158,25 @@ def main():
     ir = np.asarray([r["feat_inlier_ratio"] for r in rows])
     rre_l = np.asarray([r["rre_learned"] for r in rows])
     rre_c = np.asarray([r["rre_classical"] for r in rows])
+
+    def ndp_stats(path):
+        """Did the non-rigid stage earn its place on this corpus?"""
+        rig = np.asarray([r[f"chamfer_rigid_{path}"] for r in rows])
+        non = np.asarray([r[f"chamfer_{path}"] for r in rows])
+        gain = (rig - non) / np.maximum(rig, 1e-9)
+        return {
+            "improved_frac": round(float(np.asarray(
+                [r[f"ndp_improved_{path}"] for r in rows]).mean()), 4),
+            "mean_rel_chamfer_gain": round(float(gain.mean()), 4),
+            "median_rel_chamfer_gain": round(float(np.median(gain)), 4),
+        }
+
     summary = {
         "n_pairs": len(rows),
         "ckpt_step": int(state.step),
+        "chamfer_unregistered": agg("chamfer_unregistered"),
+        "ndp_learned": ndp_stats("learned"),
+        "ndp_classical": ndp_stats("classical"),
         "learned": {k.replace("_learned", ""): agg(k) for k in
                     ("rre_learned", "rte_learned", "chamfer_learned",
                      "chamfer_rigid_learned", "wall_learned_s")},

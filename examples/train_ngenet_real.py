@@ -33,26 +33,43 @@ _OBJ = ("/root/reference/DataPreparation/OriginalData/"
 N_POINTS = 2048
 
 
-def ensure_dataset(path: str, n_total: int = 1280, chunk: int = 16) -> str:
-    """Generate the real-phantom corpus (v2: 10x the r03 size, with the
-    symmetric-GT gate max_gt_rre_deg=15 active — VERDICT r03 item 2; the
-    r03 pickle was generated BEFORE the gate landed and kept 164-degree
-    symmetric-flip GT rows)."""
+def ensure_dataset(path: str, n_total: int = 1280, chunk: int = 16,
+                   deform_amp: float = 0.0, shapes: str = "real",
+                   seed: int = 1) -> str:
+    """Generate a phantom corpus through the full dataprep-parity pipeline
+    (symmetric-GT gate max_gt_rre_deg=15 active).
+
+    v3 (round 5): `deform_amp>0` applies the smooth modality-disagreement
+    field to the PC view before augmentation, so held-out pairs are
+    genuinely non-rigid and the NDP stage has real work (VERDICT r04 item
+    2; the v2 corpus was rigid + noise only). `shapes="synth"` generates
+    from several synthetic vessel trees instead of the real phantom mesh —
+    the cross-shape training supplement (VERDICT r04 item 3)."""
     if os.path.exists(path):
         return path
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    print(f"generating real-phantom dataset -> {path}", flush=True)
+    print(f"generating {shapes} dataset (deform {deform_amp}) -> {path}",
+          flush=True)
     t0 = time.perf_counter()
-    base = dataprep.phantom_from_obj(jax.random.PRNGKey(0), _OBJ,
-                                     n_points=N_POINTS, sample_frac=0.5)
+    if shapes == "real":
+        bases = [dataprep.phantom_from_obj(jax.random.PRNGKey(0), _OBJ,
+                                           n_points=N_POINTS,
+                                           sample_frac=0.5)]
+    else:
+        from pointcloudregistration_tpu.data import synthetic
+        bases = [synthetic.vessel_phantom(
+            jax.random.fold_in(jax.random.PRNGKey(7), s), N_POINTS)
+            for s in range(6)]
     # chunked generation keeps the vmapped RANSAC ground-truthing within
     # one chip's HBM at 2048 points x 8192 hypotheses
     cfg = dataprep.DataPrepConfig(n_points=N_POINTS, n_augment=chunk,
-                                  min_correspondences=500)
+                                  min_correspondences=500,
+                                  deform_amp=deform_amp)
     rows = []
     for c in range(n_total // chunk):
-        record = dataprep.generate_dataset(jax.random.fold_in(
-            jax.random.PRNGKey(1), c), cfg, base=base)
+        record = dataprep.generate_dataset(
+            jax.random.fold_in(jax.random.PRNGKey(seed), c), cfg,
+            base=bases[c % len(bases)])
         rows += dataprep.record_to_rows(record, accepted_only=True)
         print(f"  chunk {c}: {len(rows)} accepted so far "
               f"({time.perf_counter() - t0:.0f}s)", flush=True)
@@ -100,12 +117,28 @@ def load_split_raw(path: str, split: str, cfg: ng.NgeNetTrainConfig,
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    ckpt_dir = sys.argv[3] if len(sys.argv) > 3 else "artifacts/ngenet_real_v2"
+    ckpt_dir = sys.argv[3] if len(sys.argv) > 3 else "artifacts/ngenet_real_v3"
     pkl = sys.argv[4] if len(sys.argv) > 4 else \
-        "artifacts/data/RANSACTraincropped_real_v2.pickle"
-    ensure_dataset(pkl)
+        "artifacts/data/RANSACTraincropped_real_v3.pickle"
+    ensure_dataset(pkl, deform_amp=0.05)
+    # cross-shape supplement (VERDICT r04 item 3): several synthetic vessel
+    # trees join the train stream; val stays real-phantom-only so val
+    # recall measures generalization onto the phantom
+    cross = os.environ.get("NGENET_CROSS_SHAPE", "1") == "1"
+    pkl_synth = None
+    if cross:
+        pkl_synth = os.path.join(os.path.dirname(pkl) or ".",
+                                 "RANSACTraincropped_synth_v3.pickle")
+        ensure_dataset(pkl_synth, n_total=768, deform_amp=0.05,
+                       shapes="synth", seed=2)
 
     cfg = ng.NgeNetTrainConfig(n_points=N_POINTS)
+    # dense-radius Pallas KPConv path (ops/kpconv_pallas.py) — round 5
+    # default: no neighbor tables, light pyramids, ~same semantics with
+    # the uncapped radius neighborhoods
+    if os.environ.get("NGENET_DENSE", "1") == "1":
+        cfg = cfg._replace(model=cfg.model._replace(dense=True))
+        print("dense KPConv path ON", flush=True)
     # one-shot neighbor-cap calibration over the dataset
     # (dataloader.py:185-205 contract)
     from pointcloudregistration_tpu.data.mri import NgeNetPairs
@@ -121,6 +154,12 @@ def main():
           flush=True)
 
     train_raw, n_train = load_split_raw(pkl, "train", cfg)
+    if pkl_synth is not None:
+        synth_raw, n_synth = load_split_raw(pkl_synth, "train", cfg)
+        train_raw = {k: jnp.concatenate([train_raw[k], synth_raw[k]], 0)
+                     for k in train_raw}
+        n_train += n_synth
+        print(f"cross-shape: +{n_synth} synthetic-tree pairs", flush=True)
     val_data, n_val = load_split(pkl, "val", cfg, limit=24)
     print(f"train {n_train} pairs, val {n_val} pairs", flush=True)
 

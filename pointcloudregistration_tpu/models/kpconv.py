@@ -77,14 +77,25 @@ class KPConv(nn.Module):
 
     q_pts (M, 3) query positions, s_pts (N, 3) support positions,
     feats (N, Cin), neighbors (M, K) int32 + mask (M, K).
+
+    dense=True switches to the fused dense-radius Pallas kernel
+    (ops/kpconv_pallas.py): neighbors/neighbor_mask are ignored and
+    s_mask/q_mask carry validity; the adjacency cutoff is
+    cutoff_mul * radius (1x for in-level convs — the neighbor-table
+    radius — 2x for strided convs — the pool-table radius). Parameter
+    names/shapes are identical in both modes, so checkpoints are
+    interchangeable.
     """
     out_dim: int
     radius: float              # conv radius (sets KP extent scaling)
     num_kernel_points: int = 15
     kp_extent_ratio: float = 2.0 / 2.5   # KP_extent/conv_radius (MRI.yaml)
+    dense: bool = False
+    cutoff_mul: float = 1.0
 
     @nn.compact
-    def __call__(self, q_pts, s_pts, feats, neighbors, neighbor_mask):
+    def __call__(self, q_pts, s_pts, feats, neighbors=None,
+                 neighbor_mask=None, s_mask=None, q_mask=None):
         K = self.num_kernel_points
         in_dim = feats.shape[-1]
         kp = self.param(
@@ -93,13 +104,23 @@ class KPConv(nn.Module):
         kp = jax.lax.stop_gradient(kp)          # fixed disposition
         W = self.param("weights", nn.initializers.lecun_normal(),
                        (K, in_dim, self.out_dim))
+        extent = self.radius * self.kp_extent_ratio
+        if self.dense:
+            from pointcloudregistration_tpu.ops.kpconv_pallas import (
+                kpconv_dense)
+            if s_mask is None:
+                s_mask = jnp.ones(s_pts.shape[:-1], bool)
+            if q_mask is None:
+                q_mask = jnp.ones(q_pts.shape[:-1], bool)
+            return kpconv_dense(q_pts, s_pts, feats, s_mask, q_mask, kp, W,
+                                cutoff=self.radius * self.cutoff_mul,
+                                extent=extent)
         nbr_pts = gather_points(s_pts, neighbors)        # (M, K_n, 3)
         rel = nbr_pts - q_pts[..., :, None, :]           # (M, K_n, 3)
         # linear influence of each kernel point on each neighbor; the
         # neighbor-to-kernel-point distance via the quadratic expansion so
         # the cross-term is one (M*K_n, 3) x (3, K) matmul on the MXU
         # instead of a materialized (M, K_n, K, 3) difference tensor
-        extent = self.radius * self.kp_extent_ratio
         d2 = (jnp.sum(rel * rel, -1)[..., :, None]
               + jnp.sum(kp * kp, -1)[None, None, :]
               - 2.0 * jnp.einsum("...nc,kc->...nk", rel, kp,
@@ -189,12 +210,13 @@ class SimpleBlock(nn.Module):
     """KPConv -> BN -> LeakyReLU at out_dim//2 (blocks.py:150-180)."""
     out_dim: int
     radius: float
+    dense: bool = False
 
     @nn.compact
     def __call__(self, q_pts, s_pts, feats, neighbors, neighbor_mask,
-                 train: bool):
-        x = KPConv(self.out_dim // 2, self.radius)(
-            q_pts, s_pts, feats, neighbors, neighbor_mask)
+                 train: bool, s_mask=None, q_mask=None):
+        x = KPConv(self.out_dim // 2, self.radius, dense=self.dense)(
+            q_pts, s_pts, feats, neighbors, neighbor_mask, s_mask, q_mask)
         return BNReLU()(x, train)
 
 
@@ -217,23 +239,38 @@ class ResnetBottleneckBlock(nn.Module):
     """unary down -> KPConv -> unary up + shortcut (blocks.py:183-241).
 
     When strided, q_pts are the coarser-level points and `neighbors` the
-    pooling table; the shortcut max-pools neighbor features.
+    pooling table; the shortcut max-pools neighbor features. In dense
+    mode the pooling table is replaced by the dense-radius kernel +
+    chunked dense max-pool at the pool-table cutoff (2x radius).
     """
     out_dim: int
     radius: float
     strided: bool = False
+    dense: bool = False
 
     @nn.compact
     def __call__(self, q_pts, s_pts, feats, neighbors, neighbor_mask,
-                 train: bool):
+                 train: bool, s_mask=None, q_mask=None):
         mid = self.out_dim // 4
         x = UnaryBlock(mid)(feats, train)
-        x = KPConv(mid, self.radius)(q_pts, s_pts, x, neighbors,
-                                     neighbor_mask)
+        x = KPConv(mid, self.radius, dense=self.dense,
+                   cutoff_mul=2.0 if self.strided else 1.0)(
+            q_pts, s_pts, x, neighbors, neighbor_mask, s_mask, q_mask)
         x = BNReLU()(x, train)
         x = UnaryBlock(self.out_dim, relu=False)(x, train)
         # shortcut
-        if self.strided:
+        if self.strided and self.dense:
+            from pointcloudregistration_tpu.ops.kpconv_pallas import (
+                dense_maxpool)
+            sm = s_mask if s_mask is not None \
+                else jnp.ones(s_pts.shape[:-1], bool)
+            sc = dense_maxpool(q_pts, s_pts, feats, sm,
+                               cutoff=2.0 * self.radius)
+            if q_mask is not None:
+                # padded queries sit at the origin and would pool real
+                # neighbors there; the table path gives them 0 rows
+                sc = jnp.where(q_mask[..., None], sc, 0.0)
+        elif self.strided:
             sc = gather_points(feats, neighbors)          # (M, K, C)
             sc = jnp.where(neighbor_mask[..., None], sc, -jnp.inf)
             sc = jnp.max(sc, axis=-2)

@@ -42,6 +42,10 @@ class NgeNetConfig(NamedTuple):
     ppf_k: int = 64
     radius_mul: float = 32.0
     num_head: int = 4
+    # dense=True: the fused dense-radius Pallas KPConv path
+    # (ops/kpconv_pallas.py) — no neighbor/pool tables, light pyramids
+    # (build_pyramid tables=False). Same parameters either way.
+    dense: bool = False
 
 
 def masked_instance_norm(x, mask, eps=1e-5):
@@ -183,37 +187,43 @@ class KPEncoder(nn.Module):
         cfg = self.cfg
         r0 = cfg.first_subsampling_dl * cfg.conv_radius
         p, m = pyr["points"], pyr["masks"]
-        nb, nbm = pyr["neighbors"], pyr["neighbor_masks"]
-        pool, poolm = pyr["pools"], pyr["pool_masks"]
+        dn = cfg.dense
+        if dn:
+            nb = nbm = pool = poolm = [None] * 4
+        else:
+            nb, nbm = pyr["neighbors"], pyr["neighbor_masks"]
+            pool, poolm = pyr["pools"], pyr["pool_masks"]
         d = cfg.first_feats_dim                    # 128
         skips = []
         # L0
-        x = SimpleBlock(d, r0)(p[0], p[0], feats, nb[0], nbm[0], train)
-        x = ResnetBottleneckBlock(d, r0)(p[0], p[0], x, nb[0], nbm[0], train)
+        x = SimpleBlock(d, r0, dense=dn)(
+            p[0], p[0], feats, nb[0], nbm[0], train, m[0], m[0])
+        x = ResnetBottleneckBlock(d, r0, dense=dn)(
+            p[0], p[0], x, nb[0], nbm[0], train, m[0], m[0])
         skips.append(x)                            # dim 128
-        x = ResnetBottleneckBlock(d, r0, strided=True)(
-            p[1], p[0], x, pool[0], poolm[0], train)
+        x = ResnetBottleneckBlock(d, r0, strided=True, dense=dn)(
+            p[1], p[0], x, pool[0], poolm[0], train, m[0], m[1])
         # L1
-        x = ResnetBottleneckBlock(2 * d, 2 * r0)(p[1], p[1], x, nb[1],
-                                                 nbm[1], train)
-        x = ResnetBottleneckBlock(2 * d, 2 * r0)(p[1], p[1], x, nb[1],
-                                                 nbm[1], train)
+        x = ResnetBottleneckBlock(2 * d, 2 * r0, dense=dn)(
+            p[1], p[1], x, nb[1], nbm[1], train, m[1], m[1])
+        x = ResnetBottleneckBlock(2 * d, 2 * r0, dense=dn)(
+            p[1], p[1], x, nb[1], nbm[1], train, m[1], m[1])
         skips.append(x)                            # dim 256
-        x = ResnetBottleneckBlock(2 * d, 2 * r0, strided=True)(
-            p[2], p[1], x, pool[1], poolm[1], train)
+        x = ResnetBottleneckBlock(2 * d, 2 * r0, strided=True, dense=dn)(
+            p[2], p[1], x, pool[1], poolm[1], train, m[1], m[2])
         # L2
-        x = ResnetBottleneckBlock(4 * d, 4 * r0)(p[2], p[2], x, nb[2],
-                                                 nbm[2], train)
-        x = ResnetBottleneckBlock(4 * d, 4 * r0)(p[2], p[2], x, nb[2],
-                                                 nbm[2], train)
+        x = ResnetBottleneckBlock(4 * d, 4 * r0, dense=dn)(
+            p[2], p[2], x, nb[2], nbm[2], train, m[2], m[2])
+        x = ResnetBottleneckBlock(4 * d, 4 * r0, dense=dn)(
+            p[2], p[2], x, nb[2], nbm[2], train, m[2], m[2])
         skips.append(x)                            # dim 512
-        x = ResnetBottleneckBlock(4 * d, 4 * r0, strided=True)(
-            p[3], p[2], x, pool[2], poolm[2], train)
+        x = ResnetBottleneckBlock(4 * d, 4 * r0, strided=True, dense=dn)(
+            p[3], p[2], x, pool[2], poolm[2], train, m[2], m[3])
         # L3
-        x = ResnetBottleneckBlock(8 * d, 8 * r0)(p[3], p[3], x, nb[3],
-                                                 nbm[3], train)
-        x = ResnetBottleneckBlock(8 * d, 8 * r0)(p[3], p[3], x, nb[3],
-                                                 nbm[3], train)
+        x = ResnetBottleneckBlock(8 * d, 8 * r0, dense=dn)(
+            p[3], p[3], x, nb[3], nbm[3], train, m[3], m[3])
+        x = ResnetBottleneckBlock(8 * d, 8 * r0, dense=dn)(
+            p[3], p[3], x, nb[3], nbm[3], train, m[3], m[3])
         return x, skips
 
 

@@ -37,14 +37,21 @@ class PyramidConfig(NamedTuple):
     neighbor_caps: tuple = (24, 28, 32, 32)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "tables"))
 def build_pyramid(points: jax.Array, mask: jax.Array | None,
-                  cfg: PyramidConfig = PyramidConfig()):
+                  cfg: PyramidConfig = PyramidConfig(),
+                  tables: bool = True):
     """points (N, 3) -> dict of per-level tensors (all static shapes).
 
     Returns dict with lists indexed by level:
       points, masks, neighbors (idx), neighbor_masks,
       pools, pool_masks, upsamples.
+
+    tables=False skips the radius-kNN neighbor/pool tables (only
+    points/masks/upsamples are built) — the light pyramid for the dense
+    Pallas KPConv path (ops/kpconv_pallas.py), which computes
+    neighborhoods on the fly in VMEM and makes the table build (the
+    reference's CPU C++ collate, dataloader.py:69-182) unnecessary.
     """
     if mask is None:
         mask = jnp.ones(points.shape[:-1], bool)
@@ -64,19 +71,21 @@ def build_pyramid(points: jax.Array, mask: jax.Array | None,
     radius = cfg.first_voxel * cfg.conv_radius
     for l in range(cfg.num_layers):
         pts_l, m_l = levels_pts[l], levels_mask[l]
-        d2, idx = knn_ops.knn(pts_l, pts_l, cfg.neighbor_caps[l],
-                              ref_mask=m_l)
-        nm = (d2 <= radius * radius) & m_l[:, None]
-        neighbors.append(jnp.where(nm, idx, 0))
-        neighbor_masks.append(nm)
+        if tables:
+            d2, idx = knn_ops.knn(pts_l, pts_l, cfg.neighbor_caps[l],
+                                  ref_mask=m_l)
+            nm = (d2 <= radius * radius) & m_l[:, None]
+            neighbors.append(jnp.where(nm, idx, 0))
+            neighbor_masks.append(nm)
         if l + 1 < cfg.num_layers:
             pts_n, m_n = levels_pts[l + 1], levels_mask[l + 1]
-            # pooling: coarse centers gather fine neighbors at 2x radius
-            d2p, idxp = knn_ops.knn(pts_n, pts_l, cfg.neighbor_caps[l],
-                                    ref_mask=m_l)
-            pm = (d2p <= (2 * radius) ** 2) & m_n[:, None]
-            pools.append(jnp.where(pm, idxp, 0))
-            pool_masks.append(pm)
+            if tables:
+                # pooling: coarse centers gather fine neighbors, 2x radius
+                d2p, idxp = knn_ops.knn(pts_n, pts_l, cfg.neighbor_caps[l],
+                                        ref_mask=m_l)
+                pm = (d2p <= (2 * radius) ** 2) & m_n[:, None]
+                pools.append(jnp.where(pm, idxp, 0))
+                pool_masks.append(pm)
             # upsampling: each fine point -> nearest coarse point
             _, up = knn_ops.nn_search(pts_l, pts_n, ref_mask=m_n)
             upsamples.append(up)

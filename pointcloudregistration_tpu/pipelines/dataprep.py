@@ -47,6 +47,12 @@ class DataPrepConfig(NamedTuple):
     ransac_thresh: float = 0.05
     icp_dist: float = 0.1
     min_correspondences: int = 1000  # acceptance gate (RANSAC.py:113)
+    # modality-disagreement deformation applied to the PC view before
+    # augmentation (synthetic.modality_views deform_amp): >0 makes the
+    # TOF/PC pair genuinely non-rigid so the NDP stage has real work on
+    # held-out pairs (the reference's C2P exists for exactly this —
+    # c2p-net/validationScript.py:119-341). 0 reproduces the v2 corpus.
+    deform_amp: float = 0.0
     # symmetric-pose rejection (an improvement over the reference): the
     # augmentation that generated each sample is known, so a RANSAC GT
     # that disagrees with the augmentation inverse by more than this many
@@ -181,7 +187,8 @@ def generate_dataset(key: jax.Array, cfg: DataPrepConfig = DataPrepConfig(),
     use instead of the synthetic vessel tree.
     """
     kv, ka, kg = jax.random.split(key, 3)
-    views = synthetic.modality_views(kv, cfg.n_points, base=base)
+    views = synthetic.modality_views(kv, cfg.n_points, base=base,
+                                     deform_amp=cfg.deform_amp)
     tof, pc, pc_mask = views["tof"], views["pc"], views["pc_mask"]
 
     keys = jax.random.split(ka, cfg.n_augment)

@@ -47,8 +47,10 @@ class NgeNetTrainState(train_state.TrainState):
     batch_stats: Any = None
 
 
-def _pyramid_with_normals(points, mask, pyr_cfg):
-    pyr = build_pyramid(points, mask, pyr_cfg)
+def _pyramid_with_normals(points, mask, pyr_cfg, dense: bool = False):
+    # dense KPConv needs no neighbor/pool tables (ops/kpconv_pallas.py) —
+    # the light pyramid skips the per-level radius-kNN builds entirely
+    pyr = build_pyramid(points, mask, pyr_cfg, tables=not dense)
     p3, m3 = pyr["points"][3], pyr["masks"][3]
     _, nidx = knn_ops.knn(p3, p3, 10, m3, m3)
     normals3 = estimate_normals(p3, nidx)
@@ -71,8 +73,10 @@ def make_sample_arrays(source, source_mask, target, target_mask,
                        R_gt, t_gt, cfg: NgeNetTrainConfig):
     """Pyramids + normals for an explicit pair — the on-device collate for
     real data (replaces the CPU C++ collate, dataloader.py:69-182)."""
-    pyr_s, n_s = _pyramid_with_normals(source, source_mask, cfg.pyramid)
-    pyr_t, n_t = _pyramid_with_normals(target, target_mask, cfg.pyramid)
+    pyr_s, n_s = _pyramid_with_normals(source, source_mask, cfg.pyramid,
+                                       cfg.model.dense)
+    pyr_t, n_t = _pyramid_with_normals(target, target_mask, cfg.pyramid,
+                                       cfg.model.dense)
     return {"pyr_src": pyr_s, "pyr_tgt": pyr_t,
             "normals_src": n_s, "normals_tgt": n_t,
             "R_gt": R_gt, "t_gt": t_gt}
@@ -398,8 +402,10 @@ def register(state: NgeNetTrainState, key: jax.Array,
     (testScript.py:126-206; RANSAC distance threshold mapped from the
     first_subsampling_dl as in testScript.py:112-119.)
     """
-    pyr_s, n_s = _pyramid_with_normals(source, source_mask, cfg.pyramid)
-    pyr_t, n_t = _pyramid_with_normals(target, target_mask, cfg.pyramid)
+    pyr_s, n_s = _pyramid_with_normals(source, source_mask, cfg.pyramid,
+                                       cfg.model.dense)
+    pyr_t, n_t = _pyramid_with_normals(target, target_mask, cfg.pyramid,
+                                       cfg.model.dense)
     out_s, out_t = state.apply_fn(
         {"params": state.params, "batch_stats": state.batch_stats},
         pyr_s, pyr_t, n_s, n_t, train=False)
