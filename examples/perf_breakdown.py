@@ -83,7 +83,8 @@ def learned_breakdown(ckpt_dir: str, pkl: str, batch: int):
         return round(dt / n * 1e3, 3)
 
     pyr = jax.jit(jax.vmap(
-        lambda p, m: ng._pyramid_with_normals(p, m, cfg.pyramid)))
+        lambda p, m: ng._pyramid_with_normals(p, m, cfg.pyramid,
+                                              cfg.model.dense)))
     dt, (pyr_s, n_s) = timed(pyr, (src, sm),
                              sync=lambda o: float(jnp.sum(o[1])))
     out["stages_ms_per_pair"]["pyramid_per_cloud"] = per_pair(dt)
@@ -214,9 +215,9 @@ def main():
 
     # --- learned-path stage breakdown (VERDICT r03 item 4) ---
     import os
-    ckpt_dir = os.environ.get("NGENET_CKPT", "artifacts/ngenet_real_v2")
+    ckpt_dir = os.environ.get("NGENET_CKPT", "artifacts/ngenet_real_v3")
     pkl = os.environ.get("NGENET_PKL",
-                         "artifacts/data/RANSACTraincropped_real_v2.pickle")
+                         "artifacts/data/RANSACTraincropped_real_v3.pickle")
     if os.path.isdir(ckpt_dir) and os.path.exists(pkl):
         report["learned"] = learned_breakdown(ckpt_dir, pkl, batch)
 

@@ -37,6 +37,58 @@ SOFT_TAU = float(os.environ.get("LNDP_SOFT_TAU", 0.0))
 DISP_GATE = float(os.environ.get("LNDP_DISP_GATE", 0.10))
 W_LDMK = float(os.environ.get("LNDP_W_LDMK", 1.0))
 OUT_NAME = os.environ.get("LNDP_OUT", "lndp_eval.json")
+# 1 = calibrate the NeCo threshold on held-out calibration pairs and run
+# the gate WITHOUT the min_keep fallback (VERDICT r04 item 4)
+CALIBRATE = os.environ.get("LNDP_CALIBRATE", "1") == "1"
+MIN_KEEP = int(os.environ.get("LNDP_MIN_KEEP", "32"))
+
+
+def calibrate_neco(state, cfg, ecfg_lm, ecfg, n_cal: int = 8):
+    """NeCo-confidence calibration (the reference tunes inlier_thr by hand,
+    landmark_estimator.py:46-75 / config/LNDP.yaml): on calibration pairs
+    DISJOINT from the eval set, collect (confidence, GT-inlier) for every
+    extracted match, report the head's AUC, and pick the threshold
+    maximizing F1. If the head is uninformative (AUC ~ 0.5) the caller
+    should say so rather than pretend the gate works."""
+    confs, labels = [], []
+    for i in range(n_cal):
+        pair = fourdmatch.make_deformed_pair(
+            jax.random.fold_in(jax.random.PRNGKey(555), i), ecfg)
+        src, tgt, tm = pair["s_pc"], pair["t_pc"], pair["t_mask"]
+        sm = jnp.ones(src.shape[:-1], bool)
+        lm = lp.estimate_landmarks(state, src, tgt, sm, tm, ecfg_lm,
+                                   inlier_thr=-1.0, min_keep=0, fine_k=48)
+        mm = np.asarray(lm["match_mask"])
+        if not mm.any():
+            continue
+        _, flow_idx = knn_ops.nn_search(lm["ldmk_src"], src)
+        warped_gt = se3.transform(
+            lm["ldmk_src"] + pair["s2t_flow"][flow_idx],
+            pair["rot"], pair["trans"])
+        d = np.asarray(jnp.linalg.norm(warped_gt - lm["ldmk_tgt"], -1))
+        confs.append(np.asarray(lm["inlier_confidence"])[mm])
+        labels.append((d < 0.05)[mm])
+    c = np.concatenate(confs)
+    y = np.concatenate(labels).astype(float)
+    # AUC by rank statistic
+    order = np.argsort(c)
+    ranks = np.empty_like(order, float)
+    ranks[order] = np.arange(len(c))
+    n_pos, n_neg = y.sum(), (1 - y).sum()
+    auc = ((ranks[y > 0.5].sum() - n_pos * (n_pos - 1) / 2)
+           / max(n_pos * n_neg, 1.0))
+    best_thr, best_f1 = 0.0, -1.0
+    for thr in np.unique(np.round(c, 3)):
+        kept = c > thr
+        tp = float((y[kept] > 0.5).sum())
+        prec = tp / max(kept.sum(), 1)
+        rec = tp / max(n_pos, 1.0)
+        f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+        if f1 > best_f1:
+            best_thr, best_f1 = float(thr), float(f1)
+    return {"auc": round(float(auc), 4), "thr": best_thr,
+            "f1": round(best_f1, 4), "n_matches": int(len(c)),
+            "base_rate": round(float(y.mean()), 4)}
 
 
 def main():
@@ -85,6 +137,18 @@ def main():
     ecfg = fourdmatch.FourDMatchConfig(
         n_points=cfg.n_points, deform_amp=0.12, max_angle_deg=35.0,
         max_trans=0.35, tgt_dropout=0.5)
+
+    inlier_thr, min_keep, cal = INLIER_THR, MIN_KEEP, None
+    if CALIBRATE:
+        cal = calibrate_neco(state, cfg, ecfg_lm, ecfg)
+        print(f"NeCo calibration: {json.dumps(cal)}", flush=True)
+        if cal["auc"] > 0.6:
+            # the head carries signal: let the calibrated gate do the work
+            inlier_thr, min_keep = cal["thr"], 0
+        else:
+            print("NeCo head uninformative (AUC <= 0.6): keeping the "
+                  "displacement gate + landmark budget as the working "
+                  "confidence mechanism", flush=True)
     rows = []
     for i in range(n_eval):
         pair = fourdmatch.make_deformed_pair(
@@ -95,9 +159,9 @@ def main():
         key = jax.random.PRNGKey(1000 + i)
 
         out = lp.register_pair_lndp(state, key, src, tgt, sm, tm, ecfg_lm,
-                                    ndp_cfg=NDP_CFG, inlier_thr=INLIER_THR,
-                                    min_keep=32, fine_k=48, w_ldmk=W_LDMK,
-                                    soft_tau=SOFT_TAU,
+                                    ndp_cfg=NDP_CFG, inlier_thr=inlier_thr,
+                                    min_keep=min_keep, fine_k=48,
+                                    w_ldmk=W_LDMK, soft_tau=SOFT_TAU,
                                     use_neco_weight=True,
                                     disp_gate=DISP_GATE)
         # plain NDP from the SAME rigid initialization
@@ -124,11 +188,18 @@ def main():
         n_kept = int(jnp.sum(kept))
         inlier_rate = float(jnp.sum((d < cfg.loss.pos_radius) & kept)
                             / max(n_kept, 1))
+        # confidence medians over REAL slots (the r04 number was a median
+        # over all coarse slots incl. padding — always 0.0)
+        conf = np.asarray(lm["inlier_confidence"])
+        mm_np = np.asarray(lm["match_mask"])
+        kept_np = np.asarray(kept)
+        med_match = float(np.median(conf[mm_np])) if mm_np.any() else 0.0
+        med_kept = float(np.median(conf[kept_np])) if n_kept > 0 else 0.0
         rows.append({"chamfer_rigid": cd_rigid, "chamfer_ndp": cd_plain,
                      "chamfer_lndp": cd_lndp, "n_landmarks": n_kept,
                      "n_matches": int(jnp.sum(lm["match_mask"])),
-                     "median_inlier_conf": float(jnp.median(
-                         lm["inlier_confidence"])),
+                     "median_conf_matches": med_match,
+                     "median_conf_kept": med_kept,
                      "landmark_inlier_rate": inlier_rate})
         print(json.dumps({"pair": i, **{k: round(v, 4) if
                                         isinstance(v, float) else v
@@ -151,9 +222,13 @@ def main():
         "final_match_recall": round(float(hist[-1]["match_recall"]), 4),
     }
     os.makedirs(ckpt, exist_ok=True)
-    summary["levers"] = {"conf_thr": CONF_THR, "inlier_thr": INLIER_THR,
-                         "soft_tau": SOFT_TAU, "disp_gate": DISP_GATE,
-                         "w_ldmk": W_LDMK}
+    summary["median_conf_matches"] = round(float(np.median(
+        [r["median_conf_matches"] for r in rows])), 4)
+    summary["levers"] = {"conf_thr": CONF_THR, "inlier_thr": inlier_thr,
+                         "min_keep": min_keep, "soft_tau": SOFT_TAU,
+                         "disp_gate": DISP_GATE, "w_ldmk": W_LDMK}
+    if cal is not None:
+        summary["neco_calibration"] = cal
     with open(os.path.join(ckpt, OUT_NAME), "w") as f:
         json.dump({"summary": summary, "pairs": rows}, f, indent=1)
     print(json.dumps(summary, indent=1))
