@@ -29,7 +29,10 @@ from pointcloudregistration_tpu.core.geometry import square_dists
 from pointcloudregistration_tpu.data.mri import MRIPairs
 from pointcloudregistration_tpu.pipelines import ropnet as rp
 
-N_POINTS = 1024
+# reference scale is 2048 points with N1=896/M1=1434
+# (ROPNet/src/configs/arguments.py:11 — train_N1=448*2, train_M1=717*2);
+# ROPNET_NPTS=1024 reproduces the r04 scaled-down run (448/717)
+N_POINTS = int(os.environ.get("ROPNET_NPTS", "2048"))
 
 
 def eval_real(state, cfg, pkl, batch=4):
@@ -84,14 +87,17 @@ def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     folds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     pkl = sys.argv[3] if len(sys.argv) > 3 else \
-        "artifacts/data/RANSACTraincropped_real_v2.pickle"
+        "artifacts/data/RANSACTraincropped_real_v3.pickle"
     out_dir = "artifacts/ropnet_real"
     os.makedirs(out_dir, exist_ok=True)
 
     # N1/M1 scale with the cloud: the reference's 896/1434 assume npts=2048
     # (arguments.py:11 with train_N1=448*2, train_M1=717*2); at 1024 points
     # use the un-doubled 448/717.
-    mcfg = rp.ROPNetConfig(N1=448, M1=717)
+    if N_POINTS >= 2048:
+        mcfg = rp.ROPNetConfig(N1=896, M1=1434)
+    else:
+        mcfg = rp.ROPNetConfig(N1=448, M1=717)
     cfg = rp.ROPNetTrainConfig(model=mcfg, n_points=N_POINTS, batch=4,
                                lr=1e-4)
     t0 = time.perf_counter()

@@ -73,26 +73,34 @@ def _influence(d2, sbias_row, qbias_col, adj, inv_extent):
 
 
 def _fwd_kernel(q_ref, st_ref, f_ref, sm_ref, qm_ref, sb_ref, qb_ref, w_ref,
-                o_ref, *, cutoff, extent, n_kp):
+                o_ref, *, cutoff, extent, n_kp, bf16):
     q = q_ref[:]                               # (TM, 3)
     d2 = _d2_tile(q, st_ref[:])                # s_t (3, N)
     adj = jnp.where(d2 <= cutoff * cutoff, sm_ref[:], 0.0)   # (TM, N)
     inv_extent = 1.0 / extent
     acc = jnp.zeros(o_ref.shape, jnp.float32)
+    # feature dots: bf16 operands / f32 accumulation (1 MXU pass) by
+    # default — geometry (d2, influences) stays f32. HIGHEST (6-pass
+    # f32 emulation) is the bf16=False fallback used by the golden test.
+    fdt = jnp.bfloat16 if bf16 else jnp.float32
+    fprec = None if bf16 else _HIGHEST
+    f = f_ref[:].astype(fdt)
     for k in range(n_kp):
         infl = _influence(d2, sb_ref[k:k + 1, :], qb_ref[:, k:k + 1], adj,
                           inv_extent)
-        t = jax.lax.dot_general(infl, f_ref[:], (((1,), (0,)), ((), ())),
-                                precision=_HIGHEST,
+        t = jax.lax.dot_general(infl.astype(fdt), f,
+                                (((1,), (0,)), ((), ())),
+                                precision=fprec,
                                 preferred_element_type=jnp.float32)
-        acc += jax.lax.dot_general(t, w_ref[k], (((1,), (0,)), ((), ())),
-                                   precision=_HIGHEST,
+        acc += jax.lax.dot_general(t.astype(fdt), w_ref[k].astype(fdt),
+                                   (((1,), (0,)), ((), ())),
+                                   precision=fprec,
                                    preferred_element_type=jnp.float32)
     o_ref[:] = acc * qm_ref[:]
 
 
 def _bwd_kernel(q_ref, st_ref, f_ref, sm_ref, qm_ref, sb_ref, qb_ref, w_ref,
-                g_ref, df_ref, dw_ref, *, cutoff, extent, n_kp):
+                g_ref, df_ref, dw_ref, *, cutoff, extent, n_kp, bf16):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -104,24 +112,29 @@ def _bwd_kernel(q_ref, st_ref, f_ref, sm_ref, qm_ref, sb_ref, qb_ref, w_ref,
     d2 = _d2_tile(q, st_ref[:])
     adj = jnp.where(d2 <= cutoff * cutoff, sm_ref[:], 0.0)
     inv_extent = 1.0 / extent
-    g = g_ref[:] * qm_ref[:]                   # (TM, Cout)
-    f = f_ref[:]
+    fdt = jnp.bfloat16 if bf16 else jnp.float32
+    fprec = None if bf16 else _HIGHEST
+    g = (g_ref[:] * qm_ref[:]).astype(fdt)     # (TM, Cout)
+    f = f_ref[:].astype(fdt)
     for k in range(n_kp):
         infl = _influence(d2, sb_ref[k:k + 1, :], qb_ref[:, k:k + 1], adj,
-                          inv_extent)
+                          inv_extent).astype(fdt)
         # dh_k = g @ W_k^T  (TM, C); dfeats += infl^T @ dh_k  (N, C)
-        dh = jax.lax.dot_general(g, w_ref[k], (((1,), (1,)), ((), ())),
-                                 precision=_HIGHEST,
+        dh = jax.lax.dot_general(g, w_ref[k].astype(fdt),
+                                 (((1,), (1,)), ((), ())),
+                                 precision=fprec,
                                  preferred_element_type=jnp.float32)
-        df_ref[:] += jax.lax.dot_general(infl, dh, (((0,), (0,)), ((), ())),
-                                         precision=_HIGHEST,
+        df_ref[:] += jax.lax.dot_general(infl, dh.astype(fdt),
+                                         (((0,), (0,)), ((), ())),
+                                         precision=fprec,
                                          preferred_element_type=jnp.float32)
         # dW_k += t_k^T @ g  (C, Cout)
         t = jax.lax.dot_general(infl, f, (((1,), (0,)), ((), ())),
-                                precision=_HIGHEST,
+                                precision=fprec,
                                 preferred_element_type=jnp.float32)
-        dw_ref[k] += jax.lax.dot_general(t, g, (((0,), (0,)), ((), ())),
-                                         precision=_HIGHEST,
+        dw_ref[k] += jax.lax.dot_general(t.astype(fdt), g,
+                                         (((0,), (0,)), ((), ())),
+                                         precision=fprec,
                                          preferred_element_type=jnp.float32)
 
 
@@ -133,15 +146,19 @@ def _biases(q_pts, s_pts, kp):
     return kk[:, None] - 2.0 * sk, 2.0 * qk
 
 
-def _pallas_fwd(q_pts, s_pts, feats, s_mask, q_mask, kp, W, cutoff, extent):
+def _pallas_fwd(q_pts, s_pts, feats, s_mask, q_mask, kp, W, cutoff, extent,
+                bf16):
     M = q_pts.shape[0]
     N, C = feats.shape
     K, _, Cout = W.shape
+    bf16 = bf16 and C >= 8          # C=1 (first SimpleBlock) trips Mosaic's
+                                    # mixed-dtype lowering; trivial FLOPs
     sbias, qbias = _biases(q_pts, s_pts, kp)
     tm = min(_TM, M)
     grid = pl.cdiv(M, tm)
     return pl.pallas_call(
-        partial(_fwd_kernel, cutoff=cutoff, extent=extent, n_kp=K),
+        partial(_fwd_kernel, cutoff=cutoff, extent=extent, n_kp=K,
+                bf16=bf16),
         out_shape=jax.ShapeDtypeStruct((M, Cout), jnp.float32),
         grid=(grid,),
         in_specs=[
@@ -175,15 +192,17 @@ def _pallas_fwd(q_pts, s_pts, feats, s_mask, q_mask, kp, W, cutoff, extent):
 
 
 def _pallas_bwd(q_pts, s_pts, feats, s_mask, q_mask, kp, W, cutoff, extent,
-                g):
+                bf16, g):
     M = q_pts.shape[0]
     N, C = feats.shape
     K, _, Cout = W.shape
+    bf16 = bf16 and C >= 8          # see _pallas_fwd
     sbias, qbias = _biases(q_pts, s_pts, kp)
     tm = min(_TM_BWD, M)
     grid = pl.cdiv(M, tm)
     return pl.pallas_call(
-        partial(_bwd_kernel, cutoff=cutoff, extent=extent, n_kp=K),
+        partial(_bwd_kernel, cutoff=cutoff, extent=extent, n_kp=K,
+                bf16=bf16),
         out_shape=(jax.ShapeDtypeStruct((N, C), jnp.float32),
                    jax.ShapeDtypeStruct((K, C, Cout), jnp.float32)),
         grid=(grid,),
@@ -233,23 +252,24 @@ def _ref_conv(q_pts, s_pts, feats, s_mask, q_mask, kp, W, cutoff, extent):
     return out * q_mask[:, None].astype(feats.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _kpconv_dense_tpu(cutoff, extent, q_pts, s_pts, feats, s_mask, q_mask,
-                      kp, W):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _kpconv_dense_tpu(cutoff, extent, bf16, q_pts, s_pts, feats, s_mask,
+                      q_mask, kp, W):
     return _pallas_fwd(q_pts, s_pts, feats, s_mask, q_mask, kp, W,
-                       cutoff, extent)
+                       cutoff, extent, bf16)
 
 
-def _kpconv_fwd(cutoff, extent, q_pts, s_pts, feats, s_mask, q_mask, kp, W):
+def _kpconv_fwd(cutoff, extent, bf16, q_pts, s_pts, feats, s_mask, q_mask,
+                kp, W):
     out = _pallas_fwd(q_pts, s_pts, feats, s_mask, q_mask, kp, W,
-                      cutoff, extent)
+                      cutoff, extent, bf16)
     return out, (q_pts, s_pts, feats, s_mask, q_mask, kp, W)
 
 
-def _kpconv_bwd(cutoff, extent, res, g):
+def _kpconv_bwd(cutoff, extent, bf16, res, g):
     q_pts, s_pts, feats, s_mask, q_mask, kp, W = res
     df, dw = _pallas_bwd(q_pts, s_pts, feats, s_mask, q_mask, kp, W,
-                         cutoff, extent, g)
+                         cutoff, extent, bf16, g)
     zeros = lambda x: jnp.zeros_like(x)
     return (zeros(q_pts), zeros(s_pts), df, zeros(s_mask), zeros(q_mask),
             zeros(kp), dw)
@@ -260,7 +280,8 @@ _kpconv_dense_tpu.defvjp(_kpconv_fwd, _kpconv_bwd)
 
 def kpconv_dense(q_pts: jax.Array, s_pts: jax.Array, feats: jax.Array,
                  s_mask: jax.Array, q_mask: jax.Array, kp: jax.Array,
-                 W: jax.Array, *, cutoff: float, extent: float) -> jax.Array:
+                 W: jax.Array, *, cutoff: float, extent: float,
+                 bf16: bool = True) -> jax.Array:
     """Dense-radius KPConv: out (M, Cout) from support feats (N, C).
 
     q_pts (M, 3), s_pts (N, 3), s_mask/q_mask bool, kp (K, 3) kernel
@@ -270,8 +291,8 @@ def kpconv_dense(q_pts: jax.Array, s_pts: jax.Array, feats: jax.Array,
     reference (full autodiff).
     """
     if jax.default_backend() == "tpu":
-        return _kpconv_dense_tpu(float(cutoff), float(extent), q_pts,
-                                 s_pts, feats, s_mask, q_mask, kp, W)
+        return _kpconv_dense_tpu(float(cutoff), float(extent), bool(bf16),
+                                 q_pts, s_pts, feats, s_mask, q_mask, kp, W)
     return _ref_conv(q_pts, s_pts, feats, s_mask, q_mask, kp, W,
                      float(cutoff), float(extent))
 
