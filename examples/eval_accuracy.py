@@ -50,11 +50,18 @@ def calibrated_cfg(pkl: str) -> ng.NgeNetTrainConfig:
     return cfg._replace(pyramid=calibrate_neighbor_caps(clouds, cfg.pyramid))
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("cfg", "radius"))
 def feature_inliers(state, cfg, src, tgt, sm, tm, T_gt, radius=0.05):
     """Mutual-NN feature-match inlier ratio at the GT alignment — the FMR
-    ingredient (testScript.py:106; threedmatch.py:8-44 semantics)."""
-    pyr_s, n_s = ng._pyramid_with_normals(src, sm, cfg.pyramid)
-    pyr_t, n_t = ng._pyramid_with_normals(tgt, tm, cfg.pyramid)
+    ingredient (testScript.py:106; threedmatch.py:8-44 semantics). Jitted:
+    an eager forward costs ~100 s/pair through the remote tunnel."""
+    pyr_s, n_s = ng._pyramid_with_normals(src, sm, cfg.pyramid,
+                                          cfg.model.dense)
+    pyr_t, n_t = ng._pyramid_with_normals(tgt, tm, cfg.pyramid,
+                                          cfg.model.dense)
     out_s, out_t = state.apply_fn(
         {"params": state.params, "batch_stats": state.batch_stats},
         pyr_s, pyr_t, n_s, n_t, train=False)
@@ -70,7 +77,7 @@ def feature_inliers(state, cfg, src, tgt, sm, tm, T_gt, radius=0.05):
                             jnp.asarray(T_gt[:3, 3]))
     d = jnp.linalg.norm(aligned - p_t[nn_t], axis=-1)
     n_mut = jnp.maximum(jnp.sum(mutual), 1)
-    return float(jnp.sum((d < radius) & mutual) / n_mut)
+    return jnp.sum((d < radius) & mutual) / n_mut
 
 
 def main():
@@ -141,8 +148,9 @@ def main():
             "chamfer_classical": cd_c,
             "chamfer_rigid_classical": float(classical["chamfer_rigid"]),
             "wall_classical_s": wall_c,
-            "feat_inlier_ratio": feature_inliers(state, cfg, src, tgt,
-                                                 sm, tm, T),
+            "feat_inlier_ratio": float(feature_inliers(state, cfg, src,
+                                                       tgt, sm, tm,
+                                                       jnp.asarray(T))),
         }
         rows.append(row)
         print(json.dumps({"pair": i, **{k: round(v, 4)
